@@ -1,0 +1,28 @@
+"""Solver configuration.
+
+The reference scatters these knobs across constructor/method kwargs
+(``/root/reference/src/admmsolver/optimizer.py:125,277,302-309``); here they
+live in one frozen dataclass whose fields become static jit arguments (loop
+schedule) or carried scalars (tolerances).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMMConfig:
+    """Static knobs of the ADMM loop.
+
+    Matches reference defaults: ``niter``/``rtol``/``interval_update_mu``/
+    ``update_h`` (``optimizer.py:302-309``), ``fact_incr``/``th_change``
+    (``optimizer.py:277``), ``max_mu`` (``optimizer.py:125``).
+    """
+
+    niter: int = 10000
+    rtol: float = 1e-12
+    interval_update_mu: int = 100
+    update_h: bool = True
+    fact_incr: float = 2.0
+    th_change: float = 10.0
+    max_mu: float = 1e3

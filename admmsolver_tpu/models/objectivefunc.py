@@ -1,0 +1,347 @@
+"""Objective functions and their proximal solvers.
+
+TPU-native counterpart of the reference's objective library
+(``/root/reference/src/admmsolver/objectivefunc.py:28-355``).  Each
+objective knows how to solve its own regularized subproblem
+
+    argmin_x  F(x) + h† x + x† h + x† mu x
+
+(the linear term enters twice, i.e. ``2 Re(h†x)``, matching
+``objectivefunc.py:44-53``).
+
+Two interfaces per objective:
+
+* ``solve(h, mu)`` — eager, reference-compatible (accepts a structured
+  ``mu`` operator, returns the minimizer).  Quadratic objectives keep the
+  reference's one-entry hash-keyed factorization cache
+  (``objectivefunc.py:89-96``) for eager use.
+* the **factor protocol** used by the jitted ADMM engine: quadratic
+  objectives expose ``make_factors(mu_op)`` (expensive — run only at
+  penalty-update boundaries, turning the reference's hash cache into a
+  static schedule) and ``prox_with_factors(factors, h)`` (cheap — one MXU
+  matvec per iteration); separable objectives expose
+  ``prox_diag(h, mu_diag)`` with traced diagonal penalties.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.linop import (
+    DenseMatrix,
+    DiagonalMatrix,
+    MatrixBase,
+    PartialDiagonalMatrix,
+    ScaledIdentityMatrix,
+    add,
+    asmatrixtype,
+    matmul,
+    matrix_hash,
+)
+from ..ops.prox import project_nonneg, psd_project, soft_threshold
+
+__all__ = [
+    "ObjectiveFunctionBase",
+    "LeastSquares",
+    "ConstrainedLeastSquares",
+    "L1Regularizer",
+    "L2Regularizer",
+    "NonNegativePenalty",
+    "SemiPositiveDefinitePenalty",
+]
+
+
+def _inv_hpd(m: MatrixBase) -> MatrixBase:
+    """Structure-aware inverse of a Hermitian positive-definite operator.
+
+    Dense blocks use a Cholesky-based inverse (the reference calls plain
+    ``np.linalg.inv``, ``objectivefunc.py:11,94``; Cholesky is cheaper and
+    better conditioned for HPD operands, per BASELINE.json's directive).
+    The explicit inverse — rather than per-iteration triangular solves — is
+    deliberate: on TPU a cached ``B @ h`` matvec is one MXU pass, while
+    triangular solves serialize badly; the inverse cost is amortized over
+    the ``interval_update_mu`` iterations between penalty updates.
+    """
+    if isinstance(m, DenseMatrix):
+        d = m.data
+        eye = jnp.eye(d.shape[0], dtype=d.dtype)
+        c, low = jax.scipy.linalg.cho_factor(d)
+        return DenseMatrix(jax.scipy.linalg.cho_solve((c, low), eye))
+    if isinstance(m, PartialDiagonalMatrix):
+        return PartialDiagonalMatrix(_inv_hpd(m.matrix), m.rest_dims)
+    return m.inv()
+
+
+def _real_if_complex(h):
+    return h.real if jnp.iscomplexobj(h) else h
+
+
+def _mu_diagonal(mu: MatrixBase):
+    """Effective diagonal of a penalty operator.
+
+    Accepts diagonal, scaled-identity, and Kronecker-with-diagonal-factor
+    penalties, mirroring ``objectivefunc.py:296-310``.
+    """
+    d = mu.effective_diagonal()
+    if d is None:
+        raise TypeError(
+            f"Penalty mu of structure {type(mu).__name__} has no diagonal "
+            "interpretation; this objective requires a diagonal penalty")
+    return d
+
+
+class ObjectiveFunctionBase:
+    """Contract mirror of ``objectivefunc.py:28-53``."""
+
+    #: True when the prox needs a (refactorizable) quadratic solve.
+    is_quadratic = False
+    #: True when the prox consumes only the diagonal of mu.
+    needs_diagonal_mu = False
+
+    def __init__(self, size_x: int) -> None:
+        self._size_x = int(size_x)
+
+    @property
+    def size_x(self) -> int:
+        return self._size_x
+
+    def __call__(self, x) -> float:
+        raise NotImplementedError
+
+    def solve(self, h=None, mu: Optional[MatrixBase] = None):
+        """Return argmin_x F(x) + h†x + x†h + x† mu x."""
+        raise NotImplementedError
+
+    # --- factor protocol (jit engine) ---------------------------------
+    def make_factors(self, mu_op: MatrixBase):
+        return ()
+
+    def prox_with_factors(self, factors, h):
+        raise NotImplementedError
+
+    def prox_diag(self, h, mu_diag):
+        raise NotImplementedError
+
+
+class LeastSquares(ObjectiveFunctionBase):
+    """``alpha * ||y - A x||_2^2`` (reference ``objectivefunc.py:56-110``)."""
+
+    is_quadratic = True
+
+    def __init__(self, alpha: float, A: Union[np.ndarray, MatrixBase], y) -> None:
+        assert A.ndim == 2
+        A = asmatrixtype(A)
+        y = jnp.asarray(y)
+        assert y.ndim == 1
+        assert A.shape[0] == y.shape[0]
+        super().__init__(A.shape[1])
+        self._alpha = alpha
+        self._A = A
+        self._y = y
+        self._Ac = A.conjugate().T
+        self._AcA = matmul(self._Ac, A)
+        self._Acy = self._Ac @ y  # array; reused every iteration
+        self._Nx = A.shape[1]
+        self._B_cache = (None, None)  # eager-path one-entry cache
+
+    def __call__(self, x) -> float:
+        diff = self._y - (self._A @ x)
+        val = self._alpha * jnp.real(jnp.vdot(diff, diff))
+        return float(val) if not isinstance(val, jax.core.Tracer) else val
+
+    # --- eager path ----------------------------------------------------
+    def _get_B(self, mu: MatrixBase) -> MatrixBase:
+        try:
+            key = matrix_hash(mu)
+        except TypeError:
+            return self.make_factors(mu)
+        if self._B_cache[0] != key:
+            self._B_cache = (key, self.make_factors(mu))
+        return self._B_cache[1]
+
+    def solve(self, h=None, mu: Optional[MatrixBase] = None):
+        if h is None:
+            h = jnp.zeros(self._Nx)
+        if mu is None:
+            mu = DiagonalMatrix(jnp.zeros(self._Nx))
+        assert h.shape == (self._Nx,)
+        assert mu.shape == (self._Nx, self._Nx)
+        return self.prox_with_factors(self._get_B(mu), h)
+
+    # --- factor protocol ----------------------------------------------
+    def make_factors(self, mu_op: MatrixBase) -> MatrixBase:
+        """B = (alpha A†A + mu)^{-1}, structure-preserving."""
+        return _inv_hpd(add(self._AcA * self._alpha, mu_op))
+
+    def prox_with_factors(self, B: MatrixBase, h):
+        return B @ (self._alpha * self._Acy - h)
+
+
+class ConstrainedLeastSquares(LeastSquares):
+    """``alpha * ||y - A x||² s.t. C x = D`` exactly, by Lagrange block
+    elimination (reference ``objectivefunc.py:113-157``)."""
+
+    def __init__(self, alpha, A, y, C, D) -> None:
+        assert C.ndim == 2
+        C_ = asmatrixtype(C)
+        D = jnp.asarray(D)
+        assert D.ndim == 1
+        assert A.shape[1] == C_.shape[1]
+        assert C_.shape[0] == D.shape[0]
+        super().__init__(alpha, A, y)
+        self._C = C_
+        self._D = D
+
+    def solve(self, h=None, mu: Optional[MatrixBase] = None):
+        if h is None:
+            h = jnp.zeros(self._Nx)
+        if mu is None:
+            mu = ScaledIdentityMatrix(self._Nx, 0.0)
+        assert h.shape == (self._Nx,)
+        assert mu.shape == (self._Nx, self._Nx)
+        return self.prox_with_factors(self._get_B(mu), h)
+
+    def make_factors(self, mu_op: MatrixBase):
+        """Precompute (B, xi2 = -B C†, S^{-1} = (C xi2)^{-1}).
+
+        The reference recomputes ``xi2`` and the small (Nc×Nc) inverse every
+        call (``objectivefunc.py:148-157``); both depend only on B, so the
+        engine hoists them to penalty-update boundaries.
+        """
+        B = super().make_factors(mu_op)
+        Ch = self._C.conjugate().T
+        xi2 = matmul(B, Ch) * (-1.0)
+        S = matmul(self._C, xi2)
+        Sinv = DenseMatrix(jnp.linalg.inv(S.asmatrix()))
+        return (B, xi2, Sinv)
+
+    def prox_with_factors(self, factors, h):
+        B, xi2, Sinv = factors
+        xi1 = B @ (self._alpha * self._Acy - h)
+        nu = Sinv @ (self._D - (self._C @ xi1))
+        return xi1 + (xi2 @ nu)
+
+
+class L1Regularizer(ObjectiveFunctionBase):
+    """``F(x) = alpha |x|_1`` (reference ``objectivefunc.py:160-195``)."""
+
+    needs_diagonal_mu = True
+
+    def __init__(self, alpha: float, size_x: int) -> None:
+        assert isinstance(size_x, (int, np.integer)), type(size_x)
+        super().__init__(size_x)
+        assert alpha > 0
+        self._alpha = alpha
+
+    def __call__(self, x) -> float:
+        val = self._alpha * jnp.sum(jnp.abs(x))
+        return float(val) if not isinstance(val, jax.core.Tracer) else val
+
+    def solve(self, h=None, mu: Optional[MatrixBase] = None):
+        if h is None:
+            raise ValueError("h must not be None!")
+        if mu is None:
+            raise ValueError("mu must not be None!")
+        return self.prox_diag(jnp.asarray(h), _mu_diagonal(mu))
+
+    def prox_diag(self, h, mu_diag):
+        h = _real_if_complex(h)
+        return soft_threshold(-(h / mu_diag), 0.5 * self._alpha / mu_diag)
+
+
+class L2Regularizer(ObjectiveFunctionBase):
+    """``F(x) = alpha |A x|_2^2`` — generalized ridge / smoothness
+    (reference ``objectivefunc.py:198-242``)."""
+
+    is_quadratic = True
+
+    def __init__(self, alpha: float, A: Union[np.ndarray, MatrixBase]) -> None:
+        A = asmatrixtype(A)
+        super().__init__(A.shape[1])
+        assert alpha > 0
+        self._alpha = alpha
+        self._A = A
+        self._AcA = matmul(A.conjugate().T, A)
+        self._B_cache = (None, None)
+
+    def __call__(self, x) -> float:
+        Ax = self._A @ x
+        val = self._alpha * jnp.real(jnp.vdot(Ax, Ax))
+        return float(val) if not isinstance(val, jax.core.Tracer) else val
+
+    def _get_B(self, mu: MatrixBase) -> MatrixBase:
+        try:
+            key = matrix_hash(mu)
+        except TypeError:
+            return self.make_factors(mu)
+        if self._B_cache[0] != key:
+            self._B_cache = (key, self.make_factors(mu))
+        return self._B_cache[1]
+
+    def solve(self, h=None, mu: Optional[MatrixBase] = None):
+        if mu is None:
+            mu = ScaledIdentityMatrix(self._A.shape[1], 0.0)
+        if h is None:
+            return jnp.zeros(self._A.shape[1])
+        return self.prox_with_factors(self._get_B(mu), h)
+
+    def make_factors(self, mu_op: MatrixBase) -> MatrixBase:
+        return _inv_hpd(add(self._AcA * self._alpha, mu_op))
+
+    def prox_with_factors(self, B: MatrixBase, h):
+        return -(B @ h)
+
+
+class NonNegativePenalty(ObjectiveFunctionBase):
+    """``F(x) = infty * Theta(-x)`` (reference ``objectivefunc.py:245-271``)."""
+
+    needs_diagonal_mu = True
+
+    def __init__(self, size_x: int) -> None:
+        super().__init__(size_x)
+
+    def __call__(self, x) -> float:
+        return 0.0
+
+    def solve(self, h=None, mu: Optional[MatrixBase] = None):
+        assert h is not None
+        if mu is None:
+            raise ValueError("mu must not be None!")
+        return self.prox_diag(jnp.asarray(h), _mu_diagonal(mu))
+
+    def prox_diag(self, h, mu_diag):
+        h = _real_if_complex(h)
+        return project_nonneg(-(h / mu_diag))
+
+
+class SemiPositiveDefinitePenalty(ObjectiveFunctionBase):
+    """Penalty for negative eigenvalues of x, viewed as a 3-way tensor with
+    Hermitian slices along ``axis`` (reference ``objectivefunc.py:274-327``).
+
+    The prox projects every slice onto the PSD cone using one batched
+    ``eigh`` instead of the reference's Python slice loop.
+    """
+
+    needs_diagonal_mu = True
+
+    def __init__(self, shape: Union[Sequence, np.ndarray], axis: int) -> None:
+        assert len(shape) == 3
+        super().__init__(int(np.prod(shape)))
+        self._shape = tuple(int(s) for s in shape)
+        self._axis = int(axis)
+
+    def __call__(self, x) -> float:
+        return 0.0
+
+    def solve(self, h=None, mu: Optional[MatrixBase] = None):
+        assert h is not None
+        if mu is None:
+            raise ValueError("mu must not be None!")
+        return self.prox_diag(jnp.asarray(h), _mu_diagonal(mu))
+
+    def prox_diag(self, h, mu_diag):
+        h = _real_if_complex(h)
+        return psd_project(-(h / mu_diag), self._shape, self._axis)

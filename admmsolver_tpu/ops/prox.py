@@ -1,0 +1,45 @@
+"""Proximal-operator primitives as pure, fusable JAX functions.
+
+These are the vectorized counterparts of the reference's prox helpers
+(``/root/reference/src/admmsolver/objectivefunc.py:330-355`` and the
+per-slice eigendecomposition loop at ``objectivefunc.py:320-327``).  All are
+branch-free elementwise/matmul expressions so XLA fuses them into the
+surrounding sweep; the PSD projection replaces the reference's Python
+``for``-loop of ``np.linalg.eigh`` calls with one batched ``eigh`` that XLA
+maps over slices on-device.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def soft_threshold(y, lam):
+    """Soft-thresholding shrinkage (reference ``_softmax``).
+
+    ``y - lam`` where ``y > lam``; ``y + lam`` where ``y < -lam``; else 0
+    (``objectivefunc.py:335-355``).  Branch-free for the VPU.
+    """
+    return jnp.sign(y) * jnp.maximum(jnp.abs(y) - lam, 0.0)
+
+
+def project_nonneg(x):
+    """Projection onto the nonnegative orthant (``_project_plus``,
+    ``objectivefunc.py:330-333``)."""
+    return jnp.maximum(x, 0.0)
+
+
+def psd_project(x, shape, axis):
+    """Project Hermitian slices of a 3-way tensor onto the PSD cone.
+
+    ``x`` is flat of size prod(shape); it is reshaped to ``shape``, sliced
+    along ``axis``, and each (hermitian) slice is projected by clamping its
+    eigenvalues at zero.  Replaces the reference's sequential slice loop
+    (``objectivefunc.py:320-327``) with a single batched ``eigh`` — the
+    batch axis maps onto device parallelism instead of Python iteration.
+    """
+    x3 = x.reshape(shape)
+    x3 = jnp.moveaxis(x3, axis, 0)  # (K, n, n)
+    evals, evecs = jnp.linalg.eigh(x3)
+    evals = jnp.maximum(evals, 0.0)
+    proj = jnp.einsum("kij,kj,klj->kil", evecs, evals, evecs.conj())
+    return jnp.moveaxis(proj, 0, axis).ravel()

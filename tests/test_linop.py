@@ -1,0 +1,320 @@
+"""Structured-operator tests: every op checked against the dense oracle
+(reference idiom #2, ``/root/reference/test/test_matrix.py``)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from admmsolver_tpu.ops.linop import (
+    MatrixBase,
+    DenseMatrix,
+    DiagonalMatrix,
+    ScaledIdentityMatrix,
+    PartialDiagonalMatrix,
+    identity,
+    asmatrixtype,
+    matrix_hash,
+    matmul,
+)
+
+
+def _randn_cmplx(rng, *shape):
+    return rng.randn(*shape) + 1j * rng.randn(*shape)
+
+
+def _dense(m):
+    return np.asarray(m.asmatrix())
+
+
+def test_matmul_tall():
+    rng = np.random.RandomState(100)
+    n1, n2, n3 = 12, 12, 4
+    left = [
+        DiagonalMatrix(jnp.ones(n1)),
+        ScaledIdentityMatrix(n1, 1 + 1j),
+        PartialDiagonalMatrix(_randn_cmplx(rng, 3, 3), rest_dims=(4,)),
+        DenseMatrix(_randn_cmplx(rng, n1, n2)),
+    ]
+    right = [
+        DenseMatrix(_randn_cmplx(rng, n2, n3)),
+        ScaledIdentityMatrix((n2, n3), 1 + 1j),
+        PartialDiagonalMatrix(_randn_cmplx(rng, 3, 1), rest_dims=(4,)),
+    ]
+    for l in left:
+        for r in right:
+            lr = l @ r
+            assert isinstance(lr, MatrixBase)
+            np.testing.assert_allclose(
+                _dense(lr), _dense(l) @ _dense(r), atol=1e-12)
+
+
+def test_matmul_wide():
+    rng = np.random.RandomState(100)
+    n1, n2, n3 = 4, 12, 12
+    left = [
+        DenseMatrix(_randn_cmplx(rng, n1, n2)),
+        PartialDiagonalMatrix(_randn_cmplx(rng, 1, 3), rest_dims=(4,)),
+    ]
+    right = [
+        DiagonalMatrix(jnp.ones(n3)),
+        ScaledIdentityMatrix(n3, 1 + 1j),
+        PartialDiagonalMatrix(_randn_cmplx(rng, 3, 3), rest_dims=(4,)),
+        DenseMatrix(_randn_cmplx(rng, n2, n3)),
+    ]
+    for l in left:
+        for r in right:
+            lr = l @ r
+            assert isinstance(lr, MatrixBase)
+            np.testing.assert_allclose(
+                _dense(lr), _dense(l) @ _dense(r), atol=1e-12)
+
+
+def test_scale_transpose_conj():
+    rng = np.random.RandomState(100)
+    n1, n2 = 4, 12
+    mats = [
+        DiagonalMatrix(jnp.ones(n1)),
+        DiagonalMatrix(jnp.ones(n1), shape=(n1, n2)),
+        ScaledIdentityMatrix(n1, 1 + 1j),
+        ScaledIdentityMatrix((n1, n2), 1 + 1j),
+        PartialDiagonalMatrix(_randn_cmplx(rng, 3, 3), rest_dims=(4,)),
+        DenseMatrix(_randn_cmplx(rng, n1, n2)),
+    ]
+    c = 1 + 0.1j
+    for m in mats:
+        np.testing.assert_allclose(_dense(c * m), c * _dense(m), atol=1e-12)
+        np.testing.assert_allclose(_dense(m.T), _dense(m).T, atol=1e-12)
+        np.testing.assert_allclose(_dense(m.conj()), _dense(m).conj(),
+                                   atol=1e-12)
+        np.testing.assert_allclose(_dense(-m), -_dense(m), atol=1e-12)
+        np.testing.assert_allclose(_dense(m.H), _dense(m).conj().T,
+                                   atol=1e-12)
+
+
+def test_add_all_pairs():
+    rng = np.random.RandomState(100)
+    n = 2
+    mats = [
+        DiagonalMatrix(jnp.ones(n)),
+        ScaledIdentityMatrix(n, 1 + 1j),
+        PartialDiagonalMatrix(_randn_cmplx(rng, n, n), (1, 1)),
+        DenseMatrix(_randn_cmplx(rng, n, n)),
+    ]
+    for a in mats:
+        for b in mats:
+            s = a + b
+            assert isinstance(s, MatrixBase)
+            np.testing.assert_allclose(
+                _dense(s), _dense(a) + _dense(b), atol=1e-12)
+            d = a - b
+            np.testing.assert_allclose(
+                _dense(d), _dense(a) - _dense(b), atol=1e-12)
+
+
+def test_add_diagonal_partial_collapses():
+    """Blockwise-constant Diagonal + KroneckerI stays Kronecker
+    (reference matrix.py:461-468)."""
+    rng = np.random.RandomState(100)
+    n = 3
+    d = rng.randn(n)
+    diags = np.repeat(d, 4)
+    a = DiagonalMatrix(jnp.asarray(diags))
+    b = PartialDiagonalMatrix(_randn_cmplx(rng, n, n), (2, 2))
+    ab = a + b
+    assert isinstance(ab, PartialDiagonalMatrix)
+    np.testing.assert_allclose(_dense(ab), _dense(a) + _dense(b), atol=1e-12)
+
+
+def test_matmul_diagonal_partial_collapses():
+    """Blockwise-constant Diagonal @ KroneckerI stays Kronecker
+    (reference matrix.py:283-291)."""
+    rng = np.random.RandomState(100)
+    n = 3
+    diags = np.repeat(rng.randn(n), 4)
+    a = DiagonalMatrix(jnp.asarray(diags))
+    b = PartialDiagonalMatrix(_randn_cmplx(rng, n, n), (2, 2))
+    ab = a @ b
+    assert isinstance(ab, PartialDiagonalMatrix)
+    np.testing.assert_allclose(_dense(ab), _dense(a) @ _dense(b), atol=1e-12)
+
+
+def test_partial_partial_add_matmul():
+    rng = np.random.RandomState(100)
+    n = 3
+    a = PartialDiagonalMatrix(_randn_cmplx(rng, n, n), (2, 2))
+    b = PartialDiagonalMatrix(_randn_cmplx(rng, n, n), (2, 2))
+    ab = a + b
+    assert isinstance(ab, PartialDiagonalMatrix)
+    np.testing.assert_allclose(_dense(ab), _dense(a) + _dense(b), atol=1e-12)
+    ab = matmul(a, b)
+    assert isinstance(ab, PartialDiagonalMatrix)
+    np.testing.assert_allclose(_dense(ab), _dense(a) @ _dense(b), atol=1e-12)
+
+
+def test_inv():
+    rng = np.random.RandomState(100)
+    n = 4
+    mats = [
+        DiagonalMatrix(jnp.ones(n)),
+        ScaledIdentityMatrix(n, 1 + 1j),
+        PartialDiagonalMatrix(_randn_cmplx(rng, 2, 2), (2,)),
+        DenseMatrix(_randn_cmplx(rng, n, n)),
+    ]
+    for m in mats:
+        im = m.inv()
+        assert isinstance(im, MatrixBase)
+        np.testing.assert_allclose(
+            _dense(im) @ _dense(m), np.identity(n), rtol=0, atol=1e-12)
+
+
+def test_inv_rectangular_raises():
+    with pytest.raises(RuntimeError):
+        ScaledIdentityMatrix((2, 4), 1.0).inv()
+    with pytest.raises(RuntimeError):
+        DiagonalMatrix(jnp.ones(2), (2, 4)).inv()
+
+
+def test_matvec_square():
+    rng = np.random.RandomState(100)
+    n = 4
+    mats = [
+        DiagonalMatrix(jnp.ones(n)),
+        ScaledIdentityMatrix(n, 1 + 1j),
+        PartialDiagonalMatrix(_randn_cmplx(rng, 2, 2), (2,)),
+        PartialDiagonalMatrix(ScaledIdentityMatrix(2, 1.0), (2,)),
+        DenseMatrix(_randn_cmplx(rng, n, n)),
+    ]
+    vec = np.ones(n)
+    for m in mats:
+        mv = m @ vec
+        assert not isinstance(mv, MatrixBase)
+        np.testing.assert_allclose(np.asarray(mv), _dense(m) @ vec,
+                                   atol=1e-12)
+
+
+@pytest.mark.parametrize("n,m", [(2, 4), (4, 2)])
+def test_matvec_rectangular(n, m):
+    rng = np.random.RandomState(100)
+    mats = [
+        DiagonalMatrix(jnp.ones(min(n, m)), shape=(n, m)),
+        ScaledIdentityMatrix((n, m), 1 + 1j),
+        PartialDiagonalMatrix(_randn_cmplx(rng, n // 2, m // 2), (2,)),
+        PartialDiagonalMatrix(
+            DiagonalMatrix(jnp.asarray(_randn_cmplx(rng, min(n // 2, m // 2))),
+                           (n // 2, m // 2)),
+            (2,)),
+        DenseMatrix(_randn_cmplx(rng, n, m)),
+    ]
+    vec = np.ones(m)
+    for mat in mats:
+        mv = mat @ vec
+        np.testing.assert_allclose(np.asarray(mv), _dense(mat) @ vec,
+                                   atol=1e-12)
+
+
+@pytest.mark.parametrize("n,m", [(2, 4), (4, 2)])
+def test_batched_matvec(n, m):
+    """Trailing batch dims ride through every structure
+    (reference test_matrix.py:213-233)."""
+    rng = np.random.RandomState(100)
+    nbatch = 3
+    mats = [
+        DiagonalMatrix(jnp.ones(min(n, m)), shape=(n, m)),
+        ScaledIdentityMatrix((n, m), 1 + 1j),
+        PartialDiagonalMatrix(_randn_cmplx(rng, n // 2, m // 2), (2,)),
+        PartialDiagonalMatrix(
+            DiagonalMatrix(jnp.asarray(_randn_cmplx(rng, min(n // 2, m // 2))),
+                           (n // 2, m // 2)),
+            (2,)),
+        DenseMatrix(_randn_cmplx(rng, n, m)),
+    ]
+    vec = _randn_cmplx(rng, m, nbatch)
+    for mat in mats:
+        mv = mat @ vec
+        np.testing.assert_allclose(np.asarray(mv), _dense(mat) @ vec,
+                                   atol=1e-12)
+
+
+def test_matmul_rectangular_diagonals():
+    rng = np.random.RandomState(100)
+    a = DiagonalMatrix(jnp.asarray(rng.randn(2)), shape=(4, 2))
+    b = DiagonalMatrix(jnp.asarray(rng.randn(2)), shape=(2, 4))
+    ab = a @ b
+    assert isinstance(ab, DiagonalMatrix)
+    ab_ref = np.zeros(4)
+    ab_ref[:2] = np.asarray(a.diagonals) * np.asarray(b.diagonals)
+    np.testing.assert_allclose(np.asarray(ab.diagonals), ab_ref)
+
+
+def test_identity_and_coercion():
+    e = identity(3)
+    assert isinstance(e, ScaledIdentityMatrix)
+    np.testing.assert_allclose(_dense(e), np.eye(3))
+    d = asmatrixtype(np.ones((2, 2)))
+    assert isinstance(d, DenseMatrix)
+    assert asmatrixtype(d) is d
+
+
+def test_matrix_hash():
+    a = np.arange(4.0)
+    assert matrix_hash(a) == matrix_hash(a.copy())
+    assert matrix_hash(2.0) == matrix_hash(2.0)
+    m = DiagonalMatrix(jnp.ones(3))
+    assert m.hash() == DiagonalMatrix(jnp.ones(3)).hash()
+
+
+def test_gram():
+    rng = np.random.RandomState(100)
+    mats = [
+        DenseMatrix(_randn_cmplx(rng, 4, 6)),
+        DiagonalMatrix(jnp.asarray(_randn_cmplx(rng, 2)), (2, 4)),
+        DiagonalMatrix(jnp.asarray(_randn_cmplx(rng, 2)), (4, 2)),
+        ScaledIdentityMatrix((6, 4), 2 + 1j),
+        ScaledIdentityMatrix((4, 6), 2 + 1j),
+        PartialDiagonalMatrix(_randn_cmplx(rng, 3, 2), (2,)),
+    ]
+    for m in mats:
+        g = m.gram()
+        np.testing.assert_allclose(
+            _dense(g), _dense(m).conj().T @ _dense(m), atol=1e-12)
+
+
+def test_effective_diagonal():
+    d = DiagonalMatrix(jnp.arange(1.0, 4.0))
+    np.testing.assert_allclose(np.asarray(d.effective_diagonal()),
+                               [1, 2, 3])
+    s = ScaledIdentityMatrix(3, 2.0)
+    np.testing.assert_allclose(np.asarray(s.effective_diagonal()),
+                               [2, 2, 2])
+    k = PartialDiagonalMatrix(ScaledIdentityMatrix(2, 3.0), (2,))
+    np.testing.assert_allclose(np.asarray(k.effective_diagonal()),
+                               [3, 3, 3, 3])
+    k2 = PartialDiagonalMatrix(DiagonalMatrix(jnp.asarray([1.0, 2.0])), (3,))
+    np.testing.assert_allclose(np.asarray(k2.effective_diagonal()),
+                               [1, 1, 1, 2, 2, 2])
+    assert DenseMatrix(jnp.ones((2, 2))).effective_diagonal() is None
+    assert ScaledIdentityMatrix((2, 3), 1.0).effective_diagonal() is None
+
+
+def test_pytree_roundtrip():
+    """Operators survive jit boundaries as pytrees with static structure."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    ops = [
+        DenseMatrix(rng.randn(3, 3)),
+        DiagonalMatrix(jnp.ones(2), (2, 4)),
+        ScaledIdentityMatrix((3, 3), 2.0),
+        PartialDiagonalMatrix(rng.randn(2, 2), (3,)),
+    ]
+    for op in ops:
+        leaves, treedef = jax.tree_util.tree_flatten(op)
+        op2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        np.testing.assert_allclose(_dense(op2), _dense(op))
+
+    @jax.jit
+    def apply(op, v):
+        return op @ v
+
+    v = jnp.ones(3)
+    np.testing.assert_allclose(
+        np.asarray(apply(ops[0], v)), _dense(ops[0]) @ np.asarray(v))
