@@ -24,7 +24,7 @@ Two interfaces per objective:
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import NamedTuple, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,7 @@ from ..ops.linop import (
     MatrixBase,
     PartialDiagonalMatrix,
     ScaledIdentityMatrix,
+    _concrete,
     add,
     asmatrixtype,
     matmul,
@@ -52,6 +53,25 @@ __all__ = [
     "NonNegativePenalty",
     "SemiPositiveDefinitePenalty",
 ]
+
+
+class SpectralShift(NamedTuple):
+    """Factor state for the spectral-shift solve path.
+
+    When the penalty is a scaled identity (identity-coupled blocks — basis
+    pursuit, LASSO, ridge, λ-sweeps), ``B = (alpha A†A + c I)^{-1} =
+    U diag(1/(alpha λ + c)) U†`` with ONE eigendecomposition of the
+    *shared* Gram matrix, computed at trace time.  The per-instance factor
+    state is just the scalar shift ``c`` — "refactorization" at penalty
+    updates is free arithmetic, and the per-iteration solve is two GEMMs
+    against the shared eigenvector matrix (MXU-resident, batchable over
+    thousands of instances with no per-instance O(N³) work or O(N²)
+    factor storage).  This replaces the reference's hash-keyed inverse
+    cache (``objectivefunc.py:89-96``) with something strictly stronger
+    on TPU: exact for every shift value, never recomputed.
+    """
+
+    shift: jnp.ndarray
 
 
 def _inv_hpd(m: MatrixBase) -> MatrixBase:
@@ -100,9 +120,37 @@ class ObjectiveFunctionBase:
     is_quadratic = False
     #: True when the prox consumes only the diagonal of mu.
     needs_diagonal_mu = False
+    #: Per-instance parameters the batched runtime may override
+    #: (:mod:`admmsolver_tpu.parallel.batch`); the structure (A, C, E)
+    #: stays shared across the batch.
+    batch_fields: tuple = ()
 
     def __init__(self, size_x: int) -> None:
         self._size_x = int(size_x)
+
+    def clone_with(self, **updates):
+        """Shallow copy with per-instance parameters replaced.
+
+        Used by the batched runtime inside ``vmap``: heavy derived
+        operators (A†A, couplings) are shared by reference; only cheap
+        per-instance values are swapped.  Unknown fields raise.
+        """
+        import copy as _copy
+
+        if updates:
+            unknown = set(updates) - set(self.batch_fields)
+            if unknown:
+                raise ValueError(
+                    f"{type(self).__name__} has no batchable fields "
+                    f"{sorted(unknown)}; available: {self.batch_fields}")
+        obj = _copy.copy(self)
+        obj._apply_updates(updates)
+        return obj
+
+    def _apply_updates(self, updates: dict) -> None:
+        if updates:
+            raise ValueError(
+                f"{type(self).__name__} accepts no batch overrides")
 
     @property
     def size_x(self) -> int:
@@ -126,10 +174,66 @@ class ObjectiveFunctionBase:
         raise NotImplementedError
 
 
-class LeastSquares(ObjectiveFunctionBase):
+class _ShiftedQuadratic:
+    """Shared solve machinery for blocks whose prox is
+    ``B @ v`` with ``B = (alpha A†A + mu)^{-1}``.
+
+    Two strategies, chosen statically from the penalty structure:
+
+    * **spectral** — scaled-identity penalty + dense concrete Gram:
+      shared eigendecomposition, per-instance shift scalar
+      (:class:`SpectralShift`).  The TPU fast path.
+    * **cached inverse** — anything else: structure-aware Cholesky
+      inverse recomputed at penalty-update boundaries (:func:`_inv_hpd`).
+    """
+
+    _alpha: object
+    _AcA: MatrixBase
+    _eig = None
+
+    def _spectral_ok(self) -> bool:
+        return (isinstance(self._AcA, DenseMatrix)
+                and _concrete(self._AcA.data) is not None)
+
+    def _get_eig(self):
+        if self._eig is None:
+            lam, U = np.linalg.eigh(np.asarray(self._AcA.data))
+            self._eig = (jnp.asarray(lam), jnp.asarray(U))
+        return self._eig
+
+    def make_factors(self, mu_op: MatrixBase):
+        """B = (alpha A†A + mu)^{-1}: spectral shift or explicit inverse."""
+        if isinstance(mu_op, ScaledIdentityMatrix) and self._spectral_ok():
+            return SpectralShift(jnp.asarray(mu_op.coeff))
+        return _inv_hpd(add(self._AcA * self._alpha, mu_op))
+
+    def _apply_B(self, factors, rhs):
+        if isinstance(factors, SpectralShift):
+            lam, U = self._get_eig()
+            w = U.conj().T @ rhs
+            denom = self._alpha * lam + factors.shift
+            w = w / (denom if w.ndim == 1 else denom[:, None])
+            return U @ w
+        return factors @ rhs
+
+
+class LeastSquares(_ShiftedQuadratic, ObjectiveFunctionBase):
     """``alpha * ||y - A x||_2^2`` (reference ``objectivefunc.py:56-110``)."""
 
     is_quadratic = True
+    batch_fields = ("alpha", "y", "Acy")
+
+    def _apply_updates(self, updates: dict) -> None:
+        if "alpha" in updates:
+            self._alpha = updates["alpha"]
+        if "y" in updates:
+            self._y = jnp.asarray(updates["y"])
+            self._Acy = self._Ac @ self._y
+        if "Acy" in updates:
+            # Precomputed A†y override (batched prologue computes it once
+            # per instance so the loop body carries no A†y matvec).
+            self._Acy = updates["Acy"]
+        self._B_cache = (None, None)
 
     def __init__(self, alpha: float, A: Union[np.ndarray, MatrixBase], y) -> None:
         assert A.ndim == 2
@@ -146,6 +250,7 @@ class LeastSquares(ObjectiveFunctionBase):
         self._Acy = self._Ac @ y  # array; reused every iteration
         self._Nx = A.shape[1]
         self._B_cache = (None, None)  # eager-path one-entry cache
+        self._eig = None  # lazy shared eigendecomposition of A†A
 
     def __call__(self, x) -> float:
         diff = self._y - (self._A @ x)
@@ -172,17 +277,21 @@ class LeastSquares(ObjectiveFunctionBase):
         return self.prox_with_factors(self._get_B(mu), h)
 
     # --- factor protocol ----------------------------------------------
-    def make_factors(self, mu_op: MatrixBase) -> MatrixBase:
-        """B = (alpha A†A + mu)^{-1}, structure-preserving."""
-        return _inv_hpd(add(self._AcA * self._alpha, mu_op))
-
-    def prox_with_factors(self, B: MatrixBase, h):
-        return B @ (self._alpha * self._Acy - h)
+    def prox_with_factors(self, factors, h):
+        return self._apply_B(factors, self._alpha * self._Acy - h)
 
 
 class ConstrainedLeastSquares(LeastSquares):
     """``alpha * ||y - A x||² s.t. C x = D`` exactly, by Lagrange block
     elimination (reference ``objectivefunc.py:113-157``)."""
+
+    batch_fields = ("alpha", "y", "Acy", "D")
+
+    def _apply_updates(self, updates: dict) -> None:
+        D = updates.pop("D", None)
+        super()._apply_updates(updates)
+        if D is not None:
+            self._D = jnp.asarray(D)
 
     def __init__(self, alpha, A, y, C, D) -> None:
         assert C.ndim == 2
@@ -213,14 +322,14 @@ class ConstrainedLeastSquares(LeastSquares):
         """
         B = super().make_factors(mu_op)
         Ch = self._C.conjugate().T
-        xi2 = matmul(B, Ch) * (-1.0)
-        S = matmul(self._C, xi2)
-        Sinv = DenseMatrix(jnp.linalg.inv(S.asmatrix()))
+        xi2 = -self._apply_B(B, Ch.asmatrix())
+        S = self._C @ xi2
+        Sinv = jnp.linalg.inv(S)
         return (B, xi2, Sinv)
 
     def prox_with_factors(self, factors, h):
         B, xi2, Sinv = factors
-        xi1 = B @ (self._alpha * self._Acy - h)
+        xi1 = self._apply_B(B, self._alpha * self._Acy - h)
         nu = Sinv @ (self._D - (self._C @ xi1))
         return xi1 + (xi2 @ nu)
 
@@ -229,6 +338,11 @@ class L1Regularizer(ObjectiveFunctionBase):
     """``F(x) = alpha |x|_1`` (reference ``objectivefunc.py:160-195``)."""
 
     needs_diagonal_mu = True
+    batch_fields = ("alpha",)
+
+    def _apply_updates(self, updates: dict) -> None:
+        if "alpha" in updates:
+            self._alpha = updates["alpha"]
 
     def __init__(self, alpha: float, size_x: int) -> None:
         assert isinstance(size_x, (int, np.integer)), type(size_x)
@@ -252,11 +366,17 @@ class L1Regularizer(ObjectiveFunctionBase):
         return soft_threshold(-(h / mu_diag), 0.5 * self._alpha / mu_diag)
 
 
-class L2Regularizer(ObjectiveFunctionBase):
+class L2Regularizer(_ShiftedQuadratic, ObjectiveFunctionBase):
     """``F(x) = alpha |A x|_2^2`` — generalized ridge / smoothness
     (reference ``objectivefunc.py:198-242``)."""
 
     is_quadratic = True
+    batch_fields = ("alpha",)
+
+    def _apply_updates(self, updates: dict) -> None:
+        if "alpha" in updates:
+            self._alpha = updates["alpha"]
+        self._B_cache = (None, None)
 
     def __init__(self, alpha: float, A: Union[np.ndarray, MatrixBase]) -> None:
         A = asmatrixtype(A)
@@ -288,11 +408,8 @@ class L2Regularizer(ObjectiveFunctionBase):
             return jnp.zeros(self._A.shape[1])
         return self.prox_with_factors(self._get_B(mu), h)
 
-    def make_factors(self, mu_op: MatrixBase) -> MatrixBase:
-        return _inv_hpd(add(self._AcA * self._alpha, mu_op))
-
-    def prox_with_factors(self, B: MatrixBase, h):
-        return -(B @ h)
+    def prox_with_factors(self, factors, h):
+        return -self._apply_B(factors, h)
 
 
 class NonNegativePenalty(ObjectiveFunctionBase):

@@ -119,15 +119,17 @@ class ADMMPlan:
     # ------------------------------------------------------------------
     # Pure functions of the iteration (all batchable / vmappable)
     # ------------------------------------------------------------------
-    def compute_factors(self, mu):
+    def compute_factors(self, mu, functions=None):
         """Per-block factorizations for the current penalties.
 
         ``mu``: (npairs,) array.  Expensive (O(N^3) per dense quadratic
         block) — called only at penalty-update boundaries, which makes the
         reference's hash cache (objectivefunc.py:89-96) a static schedule.
+        ``functions`` optionally overrides the block objectives (the
+        batched runtime passes per-instance clones).
         """
         factors = []
-        for k, f in enumerate(self.model.functions):
+        for k, f in enumerate(functions or self.model.functions):
             if not f.is_quadratic:
                 factors.append(())
                 continue
@@ -150,14 +152,14 @@ class ADMMPlan:
             out = t if out is None else out + t
         return out
 
-    def sweep(self, x, h, mu, factors, update_h: bool):
+    def sweep(self, x, h, mu, factors, update_h: bool, functions=None):
         """One Gauss–Seidel sweep + dual ascent (optimizer.py:322-341).
 
         Returns (x_new, h_new, pair_products) where pair_products caches the
         per-pair coupling matvecs for the fused residual computation.
         """
         x_new = list(x)
-        for k, f in enumerate(self.model.functions):
+        for k, f in enumerate(functions or self.model.functions):
             terms = self.hk_terms[k]
             if terms:
                 hk = None
@@ -233,7 +235,8 @@ class ADMMPlan:
         mu_new = jnp.where(dn > th_change * pn, mu_new / fact_incr, mu_new)
         return jnp.minimum(mu_new, max_mu)
 
-    def iteration(self, carry, buf_idx, global_it, cfg: ADMMConfig, rtol):
+    def iteration(self, carry, buf_idx, global_it, cfg: ADMMConfig, rtol,
+                  functions=None):
         """One reference iteration of ``solve()`` (optimizer.py:310-320):
         sweep → fused residuals/convergence → scheduled mu update.
 
@@ -247,7 +250,8 @@ class ADMMPlan:
         x, x_prev, h, mu, factors, done, count, pbuf, dbuf = carry
         active = jnp.logical_not(done)
 
-        x_new, h_new, prods = self.sweep(x, h, mu, factors, cfg.update_h)
+        x_new, h_new, prods = self.sweep(
+            x, h, mu, factors, cfg.update_h, functions)
         primal_norms, dual_norms, convs = self.pair_residuals(
             x_new, x, mu, prods)
 

@@ -1,0 +1,307 @@
+"""Batched ADMM: solve many problem instances in one compiled graph.
+
+This is the first-class parallelism the reference leaves on the table
+(SURVEY.md §2.2): independent problem instances — per-frequency SpM
+problems, λ-path sweeps, many-right-hand-side compressed sensing — are
+``vmap``-ed over a leading batch axis and (optionally) sharded over a
+device mesh.  The reference solves one ``SimpleOptimizer`` at a time
+(``/root/reference/src/admmsolver/optimizer.py:302-320``); here a batch of
+thousands converges inside a single ``jit``.
+
+Control-flow design (SURVEY.md §7 hard part #2): per-instance convergence
+inside a batch means masked "converged" lanes whose state is frozen via
+``where`` selects, while the loop keeps stepping until *all* lanes are done
+(a global reduction — under sharding XLA turns it into a psum, so every
+host agrees on the exit).  Penalty updates stay per-instance (``mu`` is a
+(B, npairs) array), but their *schedule* is iteration-count based and thus
+shared, so factorization refresh happens at static chunk boundaries — the
+batched analogue of the reference's hash-keyed cache
+(``objectivefunc.py:89-96``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ADMMConfig
+from ..models.problem import Model
+from ..optimizer import ADMMPlan
+
+__all__ = ["BatchedSolver", "BatchResult"]
+
+
+@dataclasses.dataclass
+class BatchResult:
+    """Converged batch state.
+
+    ``x``: tuple of (B, n_k) arrays; ``h``: tuple of (B, size_p) arrays;
+    ``mu``: (B, npairs); ``iterations``: (B,) per-lane executed iteration
+    counts; ``converged``: (B,) bools; ``primal_residual``/
+    ``dual_residual``: (B, niter) histories, NaN-padded past each lane's
+    exit (mirrors the reference's per-iteration history lists,
+    ``optimizer.py:312-314``).
+    """
+
+    x: Tuple[jnp.ndarray, ...]
+    h: Tuple[jnp.ndarray, ...]
+    mu: jnp.ndarray
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+    primal_residual: jnp.ndarray
+    dual_residual: jnp.ndarray
+
+
+class BatchedSolver:
+    """Solve a batch of same-structure problems.
+
+    ``model`` is the template: its operators (A, C, E couplings) are shared
+    across the batch.  Per-instance values are supplied to :meth:`solve` as
+    ``overrides``: a dict ``{(block_index, field): batched_array}`` where
+    ``field`` is one of the block objective's ``batch_fields`` (e.g.
+    ``{(0, "y"): y_batch, (1, "alpha"): lambdas}`` for a λ-path sweep of
+    ``LS + L1``).  Heavy derived values are handled once per instance in a
+    vmapped prologue (e.g. ``A†y``), so the iteration body carries only the
+    per-iteration math.
+
+    ``sharding`` (optional): a ``jax.sharding.Sharding`` for the batch
+    axis; all batched state is placed with it and the compiled loop runs
+    SPMD over the mesh with the convergence reduction as a collective.
+    """
+
+    def __init__(self, model: Model, dtype=None, sharding=None) -> None:
+        self.model = model
+        self.plan = ADMMPlan(model)
+        if dtype is None:
+            dtype = jax.dtypes.canonicalize_dtype(np.complex128)
+        self.dtype = jnp.dtype(dtype)
+        self.sharding = sharding
+
+    # -- parameter binding -------------------------------------------------
+    def _bind(self, ov: Dict):
+        """Per-instance objective clones from an override dict (unbatched
+        leaves — called inside vmap)."""
+        if not ov:
+            return list(self.model.functions)
+        updates: Dict[int, Dict] = {}
+        for (k, field), val in ov.items():
+            updates.setdefault(k, {})[field] = val
+        return [
+            f.clone_with(**updates[k]) if k in updates else f
+            for k, f in enumerate(self.model.functions)
+        ]
+
+    def _validate_overrides(self, overrides: Dict) -> int:
+        batch = None
+        for (k, field), val in overrides.items():
+            f = self.model.functions[k]
+            if field not in f.batch_fields:
+                raise ValueError(
+                    f"block {k} ({type(f).__name__}) has no batchable "
+                    f"field {field!r}; available: {f.batch_fields}")
+            if np.ndim(val) < 1:
+                raise ValueError(
+                    f"override {(k, field)} must have a leading batch "
+                    f"axis, got a scalar; wrap per-instance scalars as a "
+                    f"(B,) array")
+            b = np.shape(val)[0]
+            if batch is None:
+                batch = b
+            elif batch != b:
+                raise ValueError(
+                    f"inconsistent batch sizes: {batch} vs {b} for "
+                    f"override {(k, field)}")
+        return batch
+
+    def _prologue_overrides(self, ov: Dict) -> Dict:
+        """Precompute derived per-instance values (unbatched; vmapped).
+
+        ``y`` overrides on (Constrained)LeastSquares blocks are converted
+        to ``Acy`` (= A†y) so the loop body never recomputes the reduction.
+        """
+        out = dict(ov)
+        for (k, field) in list(out.keys()):
+            if field == "y":
+                f = self.model.functions[k]
+                if hasattr(f, "_Ac"):
+                    out[(k, "Acy")] = f._Ac @ jnp.asarray(out[(k, field)])
+        return out
+
+    # -- compiled batched run ---------------------------------------------
+    @functools.lru_cache(maxsize=32)
+    def _compiled(self, cfg: ADMMConfig, ov_keys: tuple, record: bool):
+        plan = self.plan
+        interval = cfg.interval_update_mu
+        niter = cfg.niter
+
+        # Static key plan: `y` overrides on quadratic blocks are replaced
+        # by the prologue-derived `Acy` so the loop body never recomputes
+        # A†y (keys must stay static — only values flow through vmap).
+        loop_keys = []
+        for key in ov_keys:
+            k, field = key
+            if field == "y" and hasattr(self.model.functions[k], "_Ac"):
+                loop_keys.append((k, "Acy"))
+            else:
+                loop_keys.append(key)
+        loop_keys = tuple(loop_keys)
+
+        def prologue(ov_vals):
+            d = self._prologue_overrides(dict(zip(ov_keys, ov_vals)))
+            return tuple(d[k] for k in loop_keys)
+
+        def one_iter(ov2, carry, buf_idx, git, rtol):
+            functions = self._bind(dict(zip(loop_keys, ov2)))
+            return plan.iteration(carry, buf_idx, git, cfg, rtol, functions)
+
+        def refactor(ov2, carry):
+            functions = self._bind(dict(zip(loop_keys, ov2)))
+            x, xp, h, mu, _, done, count, pb, db = carry
+            factors = plan.compute_factors(mu, functions)
+            return (x, xp, h, mu, factors, done, count, pb, db)
+
+        v_iter = jax.vmap(one_iter, in_axes=(0, 0, None, None, None))
+        v_refactor = jax.vmap(refactor, in_axes=(0, 0))
+        v_factors = jax.vmap(
+            lambda ov2, mu: plan.compute_factors(
+                mu, self._bind(dict(zip(loop_keys, ov2)))),
+            in_axes=(0, 0))
+
+        def run(ov_vals, x, h, mu, rtol):
+            B = mu.shape[0]
+            # ov2: prologue-derived per-instance values, batched.
+            ov2 = jax.vmap(prologue)(ov_vals) if ov_keys else ()
+            factors = v_factors(ov2, mu)
+            rdtype = jnp.zeros(()).dtype
+            hist = niter if record else 1
+            pbuf = jnp.full((B, hist), jnp.nan, dtype=rdtype)
+            dbuf = jnp.full((B, hist), jnp.nan, dtype=rdtype)
+            carry = (x, x, h, mu, factors,
+                     jnp.zeros(B, dtype=bool),
+                     jnp.zeros(B, dtype=jnp.int32), pbuf, dbuf)
+
+            def step(carry, buf_idx, git):
+                carry, _ = v_iter(ov2, carry, buf_idx, git, rtol)
+                return carry
+
+            # iteration 0, then refactor (mu update fires at global_it=0,
+            # reference optimizer.py:319-320)
+            carry = step(carry, 0, 0)
+            carry = v_refactor(ov2, carry)
+
+            def chunk_cond(state):
+                it, carry = state
+                done = carry[5]
+                return (it < niter) & jnp.logical_not(jnp.all(done))
+
+            def chunk_body(state):
+                it, carry = state
+
+                def scan_body(carry, i):
+                    git = it + i
+                    skip = git >= niter
+                    buf_idx = jnp.minimum(git, niter - 1) if record else 0
+                    new_carry = step(carry, buf_idx, git)
+                    # Mask iterations past the requested budget (the last
+                    # chunk may overshoot niter).
+                    merged = jax.tree_util.tree_map(
+                        lambda n, o: jnp.where(skip, o, n), new_carry, carry)
+                    return merged, None
+
+                carry, _ = jax.lax.scan(
+                    scan_body, carry, jnp.arange(interval))
+                carry = v_refactor(ov2, carry)
+                return (it + interval, carry)
+
+            _, carry = jax.lax.while_loop(
+                chunk_cond, chunk_body,
+                (jnp.array(1, jnp.int32), carry))
+            x, xp, h, mu, _, done, count, pbuf, dbuf = carry
+            return x, h, mu, done, count, pbuf, dbuf
+
+        return jax.jit(run)
+
+    def solve(self,
+              overrides: Optional[Dict] = None,
+              batch_size: Optional[int] = None,
+              x0: Optional[Sequence] = None,
+              mu0=1.0,
+              niter: int = 10000,
+              interval_update_mu: int = 100,
+              update_h: bool = True,
+              rtol: float = 1e-12,
+              max_mu: float = 1e3,
+              record_residuals: bool = True) -> BatchResult:
+        """Solve the batch.  Reference-default knobs
+        (``optimizer.py:302-309,125``)."""
+        if niter <= 0:
+            raise ValueError("niter must be positive for batched solves")
+        overrides = dict(overrides or {})
+        B = self._validate_overrides(overrides)
+        if B is None:
+            B = batch_size
+        if B is None:
+            raise ValueError(
+                "batch size is undetermined: pass overrides with a leading "
+                "batch axis or batch_size=")
+        if batch_size is not None and batch_size != B:
+            raise ValueError(f"batch_size={batch_size} != override batch {B}")
+
+        plan = self.plan
+        if x0 is not None:
+            x = tuple(jnp.asarray(x_) for x_ in x0)
+            assert all(x_.shape == (B, n)
+                       for x_, n in zip(x, plan.block_sizes))
+        else:
+            x = tuple(jnp.zeros((B, n), dtype=self.dtype)
+                      for n in plan.block_sizes)
+        h = tuple(jnp.zeros((B, s), dtype=self.dtype)
+                  for s in plan.pair_sizes)
+        mu0 = jnp.asarray(mu0)
+        if mu0.ndim == 0:
+            mu = jnp.full((B, plan.npairs), mu0)
+        elif mu0.ndim == 1:
+            mu = jnp.broadcast_to(mu0[:, None], (B, plan.npairs))
+        else:
+            mu = jnp.asarray(mu0)
+            assert mu.shape == (B, plan.npairs)
+
+        B_orig = B
+        if self.sharding is not None:
+            # Pad uneven batches to a multiple of the mesh size (padding
+            # lanes replicate lane 0 and are trimmed from the result).
+            ndev = getattr(self.sharding, "num_devices", 1)
+            if B % ndev != 0:
+                Bp = ((B + ndev - 1) // ndev) * ndev
+                pad = lambda a: jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (Bp - B,) + a.shape[1:])])
+                x = tuple(pad(x_) for x_ in x)
+                h = tuple(pad(h_) for h_ in h)
+                mu = pad(mu)
+                overrides = {k: pad(jnp.asarray(v))
+                             for k, v in overrides.items()}
+                B = Bp
+            put = lambda t: jax.device_put(t, self.sharding)
+            x, h, mu = put(x), put(h), put(mu)
+            overrides = {k: put(jnp.asarray(v))
+                         for k, v in overrides.items()}
+
+        cfg = ADMMConfig(niter=int(niter),
+                         interval_update_mu=int(interval_update_mu),
+                         update_h=bool(update_h), max_mu=float(max_mu))
+        ov_keys = tuple(sorted(overrides.keys()))
+        ov_vals = tuple(jnp.asarray(overrides[k]) for k in ov_keys)
+        run = self._compiled(cfg, ov_keys, bool(record_residuals))
+        x, h, mu, done, count, pbuf, dbuf = run(ov_vals, x, h, mu, rtol)
+        if B_orig != B:
+            trim = lambda a: a[:B_orig]
+            x, h = tuple(map(trim, x)), tuple(map(trim, h))
+            mu, done, count = trim(mu), trim(done), trim(count)
+            pbuf, dbuf = trim(pbuf), trim(dbuf)
+        return BatchResult(x=x, h=h, mu=mu, iterations=count,
+                           converged=done, primal_residual=pbuf,
+                           dual_residual=dbuf)

@@ -1,0 +1,111 @@
+"""Benchmark: batched ADMM throughput on basis pursuit vs the reference.
+
+Workload: BASELINE.json config #1 — basis pursuit with dense A (256x512),
+two-block ADMM (LeastSquares + L1), the reference's headline notebook
+(``/root/reference/notebooks/basis_pursuit.ipynb``).  We solve a batch of
+independent instances in one compiled graph on the active backend (TPU
+under the driver) and report **instance-iterations per second per chip**.
+
+``vs_baseline`` = our throughput / the reference implementation's
+single-instance NumPy throughput measured live on this host's CPU (the
+reference has no parallelism — SURVEY.md §2.2 — so its chip-equivalent
+throughput IS its single-instance rate).
+
+Prints exactly one JSON line.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _make_problem(M, N, B, seed=0):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(M, N)
+    xtrue = np.zeros((B, N))
+    for b in range(B):
+        idx = rng.choice(N, 20, replace=False)
+        xtrue[b, idx] = rng.randn(20)
+    ys = xtrue @ A.T
+    return A, ys, xtrue
+
+
+def bench_tpu(A, ys, niter, dtype_name="float64"):
+    import jax
+    import jax.numpy as jnp
+
+    if dtype_name == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from admmsolver_tpu import L1Regularizer, LeastSquares, Model, identity
+    from admmsolver_tpu.parallel import BatchedSolver
+
+    dtype = jnp.dtype(dtype_name)
+    B, M = ys.shape
+    N = A.shape[1]
+    model = Model(
+        [LeastSquares(1.0, A, ys[0]), L1Regularizer(0.1, N)],
+        [(1, 0, identity(N), identity(N))])
+    bs = BatchedSolver(model, dtype=dtype)
+    ov = {(0, "y"): jnp.asarray(ys, dtype=dtype)}
+
+    # rtol=0 -> no early exit; fixed-iteration throughput measurement.
+    kw = dict(niter=niter, rtol=0.0, record_residuals=False)
+    res = bs.solve(ov, **kw)  # compile + run (warmup)
+    jax.block_until_ready(res.x)
+    t0 = time.perf_counter()
+    res = bs.solve(ov, **kw)
+    jax.block_until_ready(res.x)
+    dt = time.perf_counter() - t0
+    # recovery sanity on the measured run
+    err = float(jnp.max(jnp.abs(res.x[0] - 0)))  # placeholder guard
+    return B * niter / dt, dt, res
+
+
+def bench_reference(A, y, niter):
+    """Single-instance reference throughput (NumPy, this host's CPU)."""
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        from admmsolver.matrix import identity as ref_identity
+        from admmsolver.objectivefunc import (L1Regularizer as RefL1,
+                                              LeastSquares as RefLS)
+        from admmsolver.optimizer import Model as RefModel
+        from admmsolver.optimizer import SimpleOptimizer as RefOpt
+    except ImportError:
+        return None
+    finally:
+        sys.path.remove("/root/reference/src")
+
+    N = A.shape[1]
+    p = RefModel([RefLS(1.0, A, y), RefL1(0.1, N)],
+                 [(1, 0, ref_identity(N), ref_identity(N))])
+    opt = RefOpt(p)
+    opt.solve(2)  # warm the factorization cache
+    t0 = time.perf_counter()
+    opt.solve(niter, rtol=0.0)
+    dt = time.perf_counter() - t0
+    return niter / dt
+
+
+def main():
+    M, N, B = 256, 512, 1024
+    niter = 200
+    A, ys, xtrue = _make_problem(M, N, B)
+
+    ours_ips, dt, res = bench_tpu(A, ys, niter)
+
+    ref_ips = bench_reference(A, ys[0], 50)
+    vs = (ours_ips / ref_ips) if ref_ips else None
+
+    print(json.dumps({
+        "metric": "batched ADMM instance-iterations/s per chip "
+                  f"(basis pursuit {M}x{N}, batch {B}, float64)",
+        "value": round(ours_ips, 1),
+        "unit": "instance-iters/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""Batched-runtime tests: lane-exact equivalence with single-instance
+solves, per-lane convergence masking, λ-path sweeps, and override
+validation."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from admmsolver_tpu import (
+    L1Regularizer,
+    LeastSquares,
+    Model,
+    NonNegativePenalty,
+    SimpleOptimizer,
+    identity,
+)
+from admmsolver_tpu.parallel import BatchedSolver
+
+
+def _bp_template(A, y0, alpha0=0.1):
+    N = A.shape[1]
+    return Model([LeastSquares(1.0, A, y0), L1Regularizer(alpha0, N)],
+                 [(1, 0, identity(N), identity(N))])
+
+
+def test_batched_matches_single():
+    """Every lane of a batched solve reproduces the single-instance
+    engine bit-for-bit semantics (same iterations, same trajectories)."""
+    rng = np.random.RandomState(7)
+    M, N, B = 12, 30, 4
+    A = rng.randn(M, N)
+    ys = rng.randn(B, M)
+    alphas = np.linspace(0.05, 0.5, B)
+
+    bs = BatchedSolver(_bp_template(A, ys[0], float(alphas[0])))
+    res = bs.solve({(0, "y"): ys, (1, "alpha"): alphas}, niter=200)
+
+    for b in range(B):
+        m = _bp_template(A, ys[b], float(alphas[b]))
+        o = SimpleOptimizer(m)
+        o.solve(200)
+        np.testing.assert_allclose(np.asarray(res.x[0][b]),
+                                   np.asarray(o.x[0]), atol=1e-9)
+        nit = int(res.iterations[b])
+        assert nit == len(o._primal_residual)
+        np.testing.assert_allclose(
+            np.asarray(res.primal_residual[b])[:nit],
+            o._primal_residual, rtol=1e-6, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(res.mu[b]), np.asarray(o.mu), rtol=1e-12)
+
+
+def test_per_lane_convergence_masking():
+    """Lanes that converge early freeze while others keep iterating.
+
+    (An exactly-zero lane would never converge: the reference's relative
+    test divides 0/0 -> NaN -> not converged, optimizer.py:244-247 — we
+    preserve that, so both lanes here are nonzero.)"""
+    rng = np.random.RandomState(3)
+    M, N = 4, 2
+    A = rng.randn(M, N)
+    ys = np.stack([0.1 * A @ np.ones(N), 10 * rng.randn(M)])
+    alphas = np.array([1e-3, 10.0])
+    bs = BatchedSolver(_bp_template(A, ys[0]))
+    res = bs.solve({(0, "y"): ys, (1, "alpha"): alphas},
+                   niter=3000, rtol=1e-8)
+    it0, it1 = np.asarray(res.iterations)
+    assert it0 != it1
+    early, late = (0, it0) if it0 < it1 else (1, it1)
+    # frozen lane's residual buffer is NaN-padded past its exit
+    assert np.isnan(np.asarray(res.primal_residual[early])[late:]).all()
+    assert np.isfinite(np.asarray(res.primal_residual[early])[:late]).all()
+
+
+def test_lambda_path_sweep():
+    """λ-path: larger L1 penalties give sparser solutions."""
+    rng = np.random.RandomState(11)
+    M, N, B = 16, 40, 8
+    A = rng.randn(M, N)
+    xtrue = np.zeros(N)
+    xtrue[:4] = rng.randn(4)
+    y = A @ xtrue
+    lambdas = np.logspace(-3, 1.0, B)
+
+    bs = BatchedSolver(_bp_template(A, y))
+    res = bs.solve({(1, "alpha"): lambdas}, niter=500)
+    nnz = [(np.abs(np.asarray(res.x[1][b])) > 1e-6).sum() for b in range(B)]
+    assert nnz[0] >= nnz[-1]
+    assert nnz[-1] <= 4 * 2
+
+
+def test_x0_mu0_batched():
+    rng = np.random.RandomState(5)
+    M, N, B = 6, 10, 3
+    A = rng.randn(M, N)
+    ys = rng.randn(B, M)
+    bs = BatchedSolver(_bp_template(A, ys[0]))
+    x0 = tuple(np.zeros((B, N), dtype=np.complex128) for _ in range(2))
+    mu0 = np.array([0.5, 1.0, 2.0])
+    res = bs.solve({(0, "y"): ys}, x0=x0, mu0=mu0, niter=50,
+                   interval_update_mu=1000)  # no mu adaptation window
+    # mu unchanged except the boundary-0 update; compare vs single runs
+    for b in range(B):
+        m = _bp_template(A, ys[b])
+        o = SimpleOptimizer(m, mu=float(mu0[b]))
+        o.solve(50, interval_update_mu=1000)
+        np.testing.assert_allclose(np.asarray(res.x[0][b]),
+                                   np.asarray(o.x[0]), atol=1e-10)
+
+
+def test_three_block_batched():
+    rng = np.random.RandomState(9)
+    M, N, B = 10, 12, 3
+    A = rng.randn(M, N)
+    ys = rng.randn(B, M)
+    template = Model(
+        [LeastSquares(1.0, A, ys[0]), L1Regularizer(0.1, N),
+         NonNegativePenalty(N)],
+        [(1, 0, identity(N), identity(N)),
+         (2, 0, identity(N), identity(N))])
+    bs = BatchedSolver(template)
+    res = bs.solve({(0, "y"): ys}, niter=300)
+    for b in range(B):
+        m = Model(
+            [LeastSquares(1.0, A, ys[b]), L1Regularizer(0.1, N),
+             NonNegativePenalty(N)],
+            [(1, 0, identity(N), identity(N)),
+             (2, 0, identity(N), identity(N))])
+        o = SimpleOptimizer(m)
+        o.solve(300)
+        np.testing.assert_allclose(np.asarray(res.x[0][b]),
+                                   np.asarray(o.x[0]), atol=1e-8)
+        assert np.all(np.asarray(res.x[2][b]).real >= -1e-12)
+
+
+def test_override_validation():
+    rng = np.random.RandomState(0)
+    A = rng.randn(4, 6)
+    bs = BatchedSolver(_bp_template(A, rng.randn(4)))
+    with pytest.raises(ValueError, match="no batchable"):
+        bs.solve({(1, "y"): rng.randn(3, 4)}, niter=5)
+    with pytest.raises(ValueError, match="inconsistent batch"):
+        bs.solve({(0, "y"): rng.randn(3, 4),
+                  (1, "alpha"): np.ones(5)}, niter=5)
+    with pytest.raises(ValueError, match="batch size is undetermined"):
+        bs.solve({}, niter=5)
+
+
+def test_empty_overrides_with_batch_size():
+    """Identical lanes via batch_size= only (x0 jitter distinguishes)."""
+    rng = np.random.RandomState(2)
+    M, N, B = 6, 8, 3
+    A = rng.randn(M, N)
+    y = rng.randn(M)
+    bs = BatchedSolver(_bp_template(A, y))
+    res = bs.solve(batch_size=B, niter=100)
+    # all lanes identical
+    np.testing.assert_allclose(np.asarray(res.x[0][0]),
+                               np.asarray(res.x[0][2]), atol=1e-14)
+
+
+def test_record_residuals_off():
+    rng = np.random.RandomState(1)
+    A = rng.randn(4, 6)
+    ys = rng.randn(2, 4)
+    bs = BatchedSolver(_bp_template(A, ys[0]))
+    res = bs.solve({(0, "y"): ys}, niter=50, record_residuals=False)
+    assert res.primal_residual.shape == (2, 1)
+    assert np.asarray(res.iterations).max() <= 50

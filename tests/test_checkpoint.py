@@ -1,0 +1,102 @@
+"""Checkpoint/resume and telemetry tests (SURVEY.md §5 subsystems)."""
+import numpy as np
+import pytest
+
+from admmsolver_tpu import (L1Regularizer, LeastSquares, Model,
+                            SimpleOptimizer, identity)
+from admmsolver_tpu.parallel import BatchedSolver
+from admmsolver_tpu.utils import (check_finite_state, convergence_report,
+                                  load_batch_result, restore_optimizer,
+                                  save_batch_result, save_state)
+
+
+def _model(A, y, alpha=0.1):
+    N = A.shape[1]
+    return Model([LeastSquares(1.0, A, y), L1Regularizer(alpha, N)],
+                 [(1, 0, identity(N), identity(N))])
+
+
+def test_checkpoint_roundtrip_resume(tmp_path):
+    """Interrupt at 50 iterations, checkpoint, restore, continue — must
+    match the same split run without the save/load round trip exactly.
+    (A split run legitimately differs from an unsplit one: each solve()
+    call restarts the penalty-update counter, like the reference's
+    repeated solve() calls, optimizer.py:310,319.)"""
+    rng = np.random.RandomState(0)
+    M, N = 10, 25
+    A = rng.randn(M, N)
+    y = rng.randn(M)
+
+    witness = SimpleOptimizer(_model(A, y))
+    witness.solve(50)
+    witness.solve(50)
+
+    part = SimpleOptimizer(_model(A, y))
+    part.solve(50)
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, part)
+
+    resumed = restore_optimizer(path, _model(A, y))
+    assert len(resumed._primal_residual) == len(part._primal_residual)
+    resumed.solve(50)
+
+    np.testing.assert_allclose(np.asarray(resumed.x[0]),
+                               np.asarray(witness.x[0]), atol=1e-14)
+    np.testing.assert_allclose(resumed._primal_residual,
+                               witness._primal_residual, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(resumed.mu),
+                               np.asarray(witness.mu), rtol=0)
+
+
+def test_checkpoint_structure_mismatch(tmp_path):
+    rng = np.random.RandomState(1)
+    A = rng.randn(5, 8)
+    y = rng.randn(5)
+    opt = SimpleOptimizer(_model(A, y))
+    opt.solve(5)
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, opt)
+
+    A2 = rng.randn(5, 9)
+    with pytest.raises(Exception):
+        restore_optimizer(path, _model(A2, rng.randn(5)))
+
+
+def test_batch_result_roundtrip(tmp_path):
+    rng = np.random.RandomState(2)
+    A = rng.randn(6, 12)
+    ys = rng.randn(3, 6)
+    bs = BatchedSolver(_model(A, ys[0]))
+    res = bs.solve({(0, "y"): ys}, niter=30)
+    path = str(tmp_path / "batch.npz")
+    save_batch_result(path, res)
+    res2 = load_batch_result(path)
+    np.testing.assert_allclose(np.asarray(res2.x[0]),
+                               np.asarray(res.x[0]))
+    np.testing.assert_allclose(np.asarray(res2.mu), np.asarray(res.mu))
+    # warm-restart a batched solve from the loaded state
+    res3 = bs.solve({(0, "y"): ys}, x0=res2.x, mu0=res2.mu, niter=30)
+    assert np.asarray(res3.iterations).max() <= 30
+
+
+def test_convergence_report():
+    primal = list(np.logspace(0, -8, 100))
+    dual = list(np.logspace(0, -7, 100))
+    rep = convergence_report(primal, dual)
+    assert rep["iterations"] == 100
+    assert rep["finite"] and not rep["stalled"]
+    assert rep["reduction_rate"] < 0
+
+    stalled = convergence_report([1.0] * 60, [1.0] * 60)
+    assert stalled["stalled"]
+
+
+def test_check_finite_state():
+    rng = np.random.RandomState(3)
+    A = rng.randn(4, 6)
+    opt = SimpleOptimizer(_model(A, rng.randn(4)))
+    opt.solve(5)
+    check_finite_state(opt)  # healthy
+    opt._x = (np.full(6, np.nan),) + tuple(opt._x[1:])
+    with pytest.raises(FloatingPointError):
+        check_finite_state(opt)
