@@ -196,9 +196,10 @@ class _ShiftedQuadratic:
                 and _concrete(self._AcA.data) is not None)
 
     def _get_eig(self):
+        # Cache NUMPY arrays: jnp arrays materialized inside a jit trace
+        # would leak as tracers into later traces.
         if self._eig is None:
-            lam, U = np.linalg.eigh(np.asarray(self._AcA.data))
-            self._eig = (jnp.asarray(lam), jnp.asarray(U))
+            self._eig = np.linalg.eigh(np.asarray(self._AcA.data))
         return self._eig
 
     def make_factors(self, mu_op: MatrixBase):
@@ -209,7 +210,11 @@ class _ShiftedQuadratic:
 
     def _apply_B(self, factors, rhs):
         if isinstance(factors, SpectralShift):
+            from ..ops.linop import _match_precision
+
             lam, U = self._get_eig()
+            lam = _match_precision(jnp.asarray(lam), rhs.dtype)
+            U = _match_precision(jnp.asarray(U), rhs.dtype)
             w = U.conj().T @ rhs
             denom = self._alpha * lam + factors.shift
             w = w / (denom if w.ndim == 1 else denom[:, None])
@@ -278,7 +283,10 @@ class LeastSquares(_ShiftedQuadratic, ObjectiveFunctionBase):
 
     # --- factor protocol ----------------------------------------------
     def prox_with_factors(self, factors, h):
-        return self._apply_B(factors, self._alpha * self._Acy - h)
+        from ..ops.linop import _match_precision
+
+        Acy = _match_precision(self._Acy, h.dtype)
+        return self._apply_B(factors, self._alpha * Acy - h)
 
 
 class ConstrainedLeastSquares(LeastSquares):

@@ -1,0 +1,134 @@
+"""Pallas TPU kernels: fused multi-iteration ADMM for 2-block problems.
+
+The XLA engine (:mod:`admmsolver_tpu.optimizer`) dispatches each iteration
+as a handful of fused HLO ops — every iteration streams the batched state
+(x0, x1, h ≈ megabytes) through HBM.  For the flagship 2-block
+identity-coupled family (basis pursuit / LASSO / λ-sweeps — reference
+``notebooks/basis_pursuit.ipynb``), this kernel instead keeps a *tile of
+problem instances resident in VMEM across many iterations*: per grid
+program it loads the shared eigenvector matrix (the spectral-shift solve
+basis, see :class:`~admmsolver_tpu.models.objectivefunc.SpectralShift`),
+its transpose, and a (TB, N) tile of per-lane state, then runs
+``n_iters`` Gauss–Seidel iterations with two MXU matmuls per iteration and
+zero HBM traffic for the state.  HBM is touched once per chunk instead of
+once per iteration — the hot loop becomes matmul-bound (speed-of-light for
+this algorithm on the MXU).
+
+Per-iteration math (identity couplings; derived from the engine's sweep,
+``optimizer.py`` ``ADMMPlan.sweep``, and verified against it in
+``tests/test_kernels.py``):
+
+    v   = alpha·A†y + h + mu·x1
+    x0  = U ((U† v) / (alpha·lam + mu))     # spectral shifted-quadratic
+    x1  = prox(x0 - h/mu)                   # soft-threshold or nonneg clip
+    h  += mu (x1 - x0)                      # dual ascent
+
+float32 only (TPU-native); used as the accelerator of the mixed-precision
+low phase.  Penalty updates and convergence checks run between chunks at
+the XLA level (:mod:`admmsolver_tpu.parallel.fused`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_two_block_chunk"]
+
+
+def _iteration_body(U, Ut, dinv, acy, mu, thr, prox: str, carry):
+    x0, x1, h, _ = carry
+    v = acy + h + mu * x1
+    w = jnp.dot(v, U, preferred_element_type=jnp.float32)  # U† v (U real)
+    w = w * dinv
+    x0_new = jnp.dot(w, Ut, preferred_element_type=jnp.float32)
+    z = x0_new - h / mu
+    if prox == "l1":
+        x1_new = jnp.sign(z) * jnp.maximum(jnp.abs(z) - thr, 0.0)
+    elif prox == "nonneg":
+        x1_new = jnp.maximum(z, 0.0)
+    else:  # pragma: no cover - guarded at the caller
+        raise ValueError(prox)
+    h_new = h + mu * (x1_new - x0_new)
+    return (x0_new, x1_new, h_new, x0)
+
+
+def _chunk_kernel(U_ref, Ut_ref, dinv_ref, acy_ref, mu_ref, thr_ref,
+                  x0_ref, x1_ref, h_ref,
+                  x0o_ref, x1o_ref, ho_ref, x0p_ref,
+                  *, n_iters: int, prox: str):
+    U = U_ref[:]
+    Ut = Ut_ref[:]
+    dinv = dinv_ref[:]
+    acy = acy_ref[:]
+    mu = mu_ref[:]
+    thr = thr_ref[:]
+
+    carry = (x0_ref[:], x1_ref[:], h_ref[:], x0_ref[:])
+    carry = jax.lax.fori_loop(
+        0, n_iters,
+        lambda t, c: _iteration_body(U, Ut, dinv, acy, mu, thr, prox, c),
+        carry)
+    x0, x1, h, x0_prev = carry
+    x0o_ref[:] = x0
+    x1o_ref[:] = x1
+    ho_ref[:] = h
+    x0p_ref[:] = x0_prev
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "prox", "tile_b", "interpret"))
+def fused_two_block_chunk(U, Ut, dinv, acy, mu, thr, x0, x1, h,
+                          n_iters: int, prox: str = "l1",
+                          tile_b: int = 128,
+                          interpret: bool = False):
+    """Run ``n_iters`` fused ADMM iterations on a batch of 2-block
+    problems.
+
+    Shapes: ``U``/``Ut`` (N, N) shared f32; ``dinv`` = 1/(alpha·lam + mu)
+    (B, N); ``acy`` = alpha·A†y (B, N); ``mu``/``thr`` (B, 1); state
+    ``x0``/``x1``/``h`` (B, N).  Returns (x0, x1, h, x0_prev) where
+    ``x0_prev`` is the penultimate iterate (for the dual residual).
+    ``B`` must be a multiple of ``tile_b``; N a multiple of 128.
+    """
+    B, N = x0.shape
+    assert B % tile_b == 0, (B, tile_b)
+    assert N % 128 == 0 or interpret, \
+        f"N={N} must be a multiple of 128 for the compiled TPU kernel"
+    grid = (B // tile_b,)
+
+    shared = pl.BlockSpec((N, N), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    lane_mat = pl.BlockSpec((tile_b, N), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    lane_scalar = pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((B, N), jnp.float32),  # x0
+        jax.ShapeDtypeStruct((B, N), jnp.float32),  # x1
+        jax.ShapeDtypeStruct((B, N), jnp.float32),  # h
+        jax.ShapeDtypeStruct((B, N), jnp.float32),  # x0_prev
+    ]
+    kernel = functools.partial(_chunk_kernel, n_iters=n_iters, prox=prox)
+    flops_per_iter = 2 * 2 * tile_b * N * N + 8 * tile_b * N
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[shared, shared, lane_mat, lane_mat,
+                  lane_scalar, lane_scalar,
+                  lane_mat, lane_mat, lane_mat],
+        out_specs=[lane_mat, lane_mat, lane_mat, lane_mat],
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=n_iters * flops_per_iter * grid[0],
+            bytes_accessed=(2 * N * N + 7 * B * N) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(U, Ut, dinv, acy, mu, thr, x0, x1, h)

@@ -59,6 +59,27 @@ def _concrete(x) -> Optional[np.ndarray]:
         return None
 
 
+def _match_precision(c, ref_dtype):
+    """Cast ``c`` to the precision (f32 vs f64) of ``ref_dtype``, keeping
+    its real/complex kind.
+
+    Policy: operator values follow the *state* dtype.  Shared operators
+    are stored at setup precision (typically f64); when the solver runs a
+    reduced-precision phase, their application must not silently promote
+    the whole graph back to f64.  Casts of concrete operands are
+    constant-folded by XLA.
+    """
+    c = jnp.asarray(c)
+    rdt = np.dtype(ref_dtype).type(0).real.dtype
+    if np.issubdtype(c.dtype, np.complexfloating):
+        tgt = np.complex64 if rdt == np.float32 else np.complex128
+    elif np.issubdtype(c.dtype, np.floating):
+        tgt = rdt
+    else:
+        return c
+    return c.astype(tgt) if c.dtype != tgt else c
+
+
 def _is_scalar(x) -> bool:
     if isinstance(x, (int, float, complex, np.floating, np.complexfloating, np.integer)):
         return True
@@ -216,7 +237,8 @@ class DenseMatrix(MatrixBase):
 
     def matvec(self, v):
         v = _asarray(v)
-        return jnp.tensordot(self.data, v, axes=((1,), (0,)))
+        return jnp.tensordot(_match_precision(self.data, v.dtype), v,
+                             axes=((1,), (0,)))
 
     def effective_diagonal(self):
         return None
@@ -302,7 +324,7 @@ class ScaledIdentityMatrix(MatrixBase):
         n, m = self.shape
         assert v.shape[0] == m, (self.shape, v.shape)
         if n == m:
-            return _asarray(self.coeff) * v
+            return _match_precision(self.coeff, v.dtype) * v
         return self.to_diagonal_matrix().matvec(v)
 
     def effective_diagonal(self):
@@ -383,7 +405,7 @@ class DiagonalMatrix(MatrixBase):
         n = self.shape[0]
         assert v.shape[0] == self.shape[1], (self.shape, v.shape)
         k = min(self._diagonals.shape[0], v.shape[0])
-        d = self._diagonals[:k]
+        d = _match_precision(self._diagonals[:k], v.dtype)
         scaled = d.reshape((k,) + (1,) * (v.ndim - 1)) * v[:k]
         if n == k:
             return scaled
@@ -466,11 +488,12 @@ class PartialDiagonalMatrix(MatrixBase):
         # (m*rest, batch...) -> (m, rest*batch)
         vr = v.reshape(small.shape[1], -1)
         if isinstance(small, ScaledIdentityMatrix):
-            res = _asarray(small.coeff) * vr
+            res = _match_precision(small.coeff, vr.dtype) * vr
         elif isinstance(small, DiagonalMatrix):
             res = small.matvec(vr)
         else:
-            res = jnp.tensordot(small.asmatrix(), vr, axes=((1,), (0,)))
+            res = jnp.tensordot(_match_precision(small.asmatrix(), vr.dtype),
+                                vr, axes=((1,), (0,)))
         return res.reshape(out_shape)
 
     def effective_diagonal(self):

@@ -145,10 +145,12 @@ class ADMMPlan:
 
     def mu_diag(self, k: int, mu):
         """Effective diagonal penalty for block k (objectivefunc.py:296-310)."""
+        from .ops.linop import _match_precision
+
         terms = self.mu_diag_terms[k]
         out = None
         for p_idx, d in terms:
-            t = mu[p_idx] * d
+            t = mu[p_idx] * _match_precision(d, mu.dtype)
             out = t if out is None else out + t
         return out
 
@@ -169,7 +171,7 @@ class ADMMPlan:
                     t = sign * (EikH @ h[p_idx]) - mu[p_idx] * (EcE_ki @ xi)
                     hk = t if hk is None else hk + t
             else:
-                hk = jnp.zeros(f.size_x)
+                hk = jnp.zeros(f.size_x, dtype=x[k].dtype)
 
             if f.is_quadratic:
                 xk = f.prox_with_factors(factors[k], hk)
@@ -235,7 +237,7 @@ class ADMMPlan:
         mu_new = jnp.where(dn > th_change * pn, mu_new / fact_incr, mu_new)
         return jnp.minimum(mu_new, max_mu)
 
-    def iteration(self, carry, buf_idx, global_it, cfg: ADMMConfig, rtol,
+    def iteration(self, carry, buf_idx, global_it, cfg: ADMMConfig, tols,
                   functions=None):
         """One reference iteration of ``solve()`` (optimizer.py:310-320):
         sweep → fused residuals/convergence → scheduled mu update.
@@ -247,6 +249,7 @@ class ADMMPlan:
         vmaps it.  Returns (carry', do_mu) — the caller decides how to
         refactorize.
         """
+        rtol, atol = tols
         x, x_prev, h, mu, factors, done, count, pbuf, dbuf = carry
         active = jnp.logical_not(done)
 
@@ -263,6 +266,10 @@ class ADMMPlan:
             conv = jnp.array(True)
             for rp, rd in convs:
                 conv = conv & (rp < rtol) & (rd < rtol)
+            # Optional absolute-residual stop (engine extension beyond the
+            # reference; atol=0 disables it and preserves exact reference
+            # semantics).  Used for "time-to-1e-10" targets.
+            conv = conv | ((primal < atol) & (dual < atol))
         else:
             primal = jnp.asarray(0.0)
             dual = jnp.asarray(0.0)
@@ -303,7 +310,7 @@ class ADMMPlan:
         """Jitted full solve: while_loop with early exit and lax.cond
         refactorization at penalty boundaries."""
 
-        def run(x, h, mu, rtol, it_offset):
+        def run(x, h, mu, tols, it_offset):
             factors = self.compute_factors(mu)
             rdtype = jnp.zeros(()).dtype
             pbuf = jnp.full(cfg.niter, jnp.nan, dtype=rdtype)
@@ -319,7 +326,7 @@ class ADMMPlan:
             def body(state):
                 it, carry = state
                 carry, do_mu = self.iteration(
-                    carry, it, it + it_offset, cfg, rtol)
+                    carry, it, it + it_offset, cfg, tols)
                 (x_, xp_, h_, mu_, factors_, done_, count_,
                  pb_, db_) = carry
                 factors_ = jax.lax.cond(
@@ -398,7 +405,7 @@ class SimpleOptimizer:
 
     def solve(self, niter: int = 10000, callback=None,
               interval_update_mu: int = 100, update_h: bool = True,
-              rtol: float = 1e-12) -> None:
+              rtol: float = 1e-12, atol: float = 0.0) -> None:
         if niter <= 0:
             # The reference's `for iter in range(0)` is a no-op
             # (optimizer.py:310).
@@ -413,7 +420,7 @@ class SimpleOptimizer:
                 update_h=bool(update_h), max_mu=self._max_mu)
             run = self._plan._compiled_run(cfg)
             x, xp, h, mu, done, count, pbuf, dbuf = run(
-                self._x, self._h, self._mu, rtol,
+                self._x, self._h, self._mu, (rtol, atol),
                 jnp.array(0, jnp.int32))
             n = int(count)
             self._x, self._h, self._mu = x, h, mu
@@ -432,7 +439,7 @@ class SimpleOptimizer:
         run1 = self._plan._compiled_run(cfg1)
         for it in range(int(niter)):
             x, xp, h, mu, done, count, pbuf, dbuf = run1(
-                self._x, self._h, self._mu, rtol,
+                self._x, self._h, self._mu, (rtol, atol),
                 jnp.array(it, jnp.int32))
             self._x, self._h, self._mu = x, h, mu
             self._x_old = xp

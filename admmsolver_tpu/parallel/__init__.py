@@ -1,4 +1,5 @@
 from .batch import BatchedSolver, BatchResult
+from .fused import FusedTwoBlockSolver, FusedResult
 from .mesh import (
     make_mesh,
     batch_sharding,

@@ -35,6 +35,19 @@ from ..optimizer import ADMMPlan
 __all__ = ["BatchedSolver", "BatchResult"]
 
 
+def _cast_like(dtype, a):
+    """Cast ``a`` to the real/complex companion of ``dtype`` (floats to
+    its real type, complex to its complex type) so a mixed-precision phase
+    doesn't get silently re-promoted by f64 constants."""
+    a = jnp.asarray(a)
+    dtype = np.dtype(dtype)
+    if np.issubdtype(a.dtype, np.complexfloating):
+        return a.astype(np.result_type(dtype, np.complex64))
+    if np.issubdtype(a.dtype, np.floating):
+        return a.astype(np.dtype(dtype).type(0).real.dtype)
+    return a
+
+
 @dataclasses.dataclass
 class BatchResult:
     """Converged batch state.
@@ -154,9 +167,9 @@ class BatchedSolver:
             d = self._prologue_overrides(dict(zip(ov_keys, ov_vals)))
             return tuple(d[k] for k in loop_keys)
 
-        def one_iter(ov2, carry, buf_idx, git, rtol):
+        def one_iter(ov2, carry, buf_idx, git, tols):
             functions = self._bind(dict(zip(loop_keys, ov2)))
-            return plan.iteration(carry, buf_idx, git, cfg, rtol, functions)
+            return plan.iteration(carry, buf_idx, git, cfg, tols, functions)
 
         def refactor(ov2, carry):
             functions = self._bind(dict(zip(loop_keys, ov2)))
@@ -171,7 +184,7 @@ class BatchedSolver:
                 mu, self._bind(dict(zip(loop_keys, ov2)))),
             in_axes=(0, 0))
 
-        def run(ov_vals, x, h, mu, rtol):
+        def run(ov_vals, x, h, mu, tols):
             B = mu.shape[0]
             # ov2: prologue-derived per-instance values, batched.
             ov2 = jax.vmap(prologue)(ov_vals) if ov_keys else ()
@@ -185,7 +198,7 @@ class BatchedSolver:
                      jnp.zeros(B, dtype=jnp.int32), pbuf, dbuf)
 
             def step(carry, buf_idx, git):
-                carry, _ = v_iter(ov2, carry, buf_idx, git, rtol)
+                carry, _ = v_iter(ov2, carry, buf_idx, git, tols)
                 return carry
 
             # iteration 0, then refactor (mu update fires at global_it=0,
@@ -229,17 +242,24 @@ class BatchedSolver:
               overrides: Optional[Dict] = None,
               batch_size: Optional[int] = None,
               x0: Optional[Sequence] = None,
+              h0: Optional[Sequence] = None,
               mu0=1.0,
               niter: int = 10000,
               interval_update_mu: int = 100,
               update_h: bool = True,
               rtol: float = 1e-12,
+              atol: float = 0.0,
               max_mu: float = 1e3,
-              record_residuals: bool = True) -> BatchResult:
+              record_residuals: bool = True,
+              dtype=None) -> BatchResult:
         """Solve the batch.  Reference-default knobs
-        (``optimizer.py:302-309,125``)."""
+        (``optimizer.py:302-309,125``); ``atol`` adds an absolute
+        primal+dual residual stop (0 = off); ``dtype`` overrides the
+        solver's state dtype for this call (mixed-precision phases);
+        ``h0`` warm-starts the duals (resume / phase hand-off)."""
         if niter <= 0:
             raise ValueError("niter must be positive for batched solves")
+        dtype = self.dtype if dtype is None else jnp.dtype(dtype)
         overrides = dict(overrides or {})
         B = self._validate_overrides(overrides)
         if B is None:
@@ -253,22 +273,28 @@ class BatchedSolver:
 
         plan = self.plan
         if x0 is not None:
-            x = tuple(jnp.asarray(x_) for x_ in x0)
+            x = tuple(jnp.asarray(x_, dtype=dtype) for x_ in x0)
             assert all(x_.shape == (B, n)
                        for x_, n in zip(x, plan.block_sizes))
         else:
-            x = tuple(jnp.zeros((B, n), dtype=self.dtype)
+            x = tuple(jnp.zeros((B, n), dtype=dtype)
                       for n in plan.block_sizes)
-        h = tuple(jnp.zeros((B, s), dtype=self.dtype)
-                  for s in plan.pair_sizes)
-        mu0 = jnp.asarray(mu0)
+        if h0 is not None:
+            h = tuple(jnp.asarray(h_, dtype=dtype) for h_ in h0)
+            assert all(h_.shape == (B, s)
+                       for h_, s in zip(h, plan.pair_sizes))
+        else:
+            h = tuple(jnp.zeros((B, s), dtype=dtype)
+                      for s in plan.pair_sizes)
+        mu0 = _cast_like(dtype, mu0)
         if mu0.ndim == 0:
             mu = jnp.full((B, plan.npairs), mu0)
         elif mu0.ndim == 1:
             mu = jnp.broadcast_to(mu0[:, None], (B, plan.npairs))
         else:
-            mu = jnp.asarray(mu0)
+            mu = mu0
             assert mu.shape == (B, plan.npairs)
+        overrides = {k: _cast_like(dtype, v) for k, v in overrides.items()}
 
         B_orig = B
         if self.sharding is not None:
@@ -296,7 +322,8 @@ class BatchedSolver:
         ov_keys = tuple(sorted(overrides.keys()))
         ov_vals = tuple(jnp.asarray(overrides[k]) for k in ov_keys)
         run = self._compiled(cfg, ov_keys, bool(record_residuals))
-        x, h, mu, done, count, pbuf, dbuf = run(ov_vals, x, h, mu, rtol)
+        x, h, mu, done, count, pbuf, dbuf = run(ov_vals, x, h, mu,
+                                                (rtol, atol))
         if B_orig != B:
             trim = lambda a: a[:B_orig]
             x, h = tuple(map(trim, x)), tuple(map(trim, h))
@@ -305,3 +332,35 @@ class BatchedSolver:
         return BatchResult(x=x, h=h, mu=mu, iterations=count,
                            converged=done, primal_residual=pbuf,
                            dual_residual=dbuf)
+
+    def solve_mixed(self,
+                    overrides: Optional[Dict] = None,
+                    niter_low: int = 2000,
+                    niter: int = 10000,
+                    low_dtype="float32",
+                    low_rtol: float = 1e-6,
+                    **kw) -> BatchResult:
+        """Two-phase mixed-precision solve (SURVEY.md §7 hard part #1).
+
+        Phase 1 iterates in ``low_dtype`` (native MXU speed; TPU f64 is
+        emulated) until the relative residual change plateaus at
+        ``low_rtol`` or ``niter_low`` is reached; phase 2 continues the
+        SAME primal/dual/penalty state at the solver's full precision to
+        the requested tolerance.  ADMM is self-correcting — the dual state
+        carries the low-precision phase's progress exactly — so the
+        hand-off costs nothing in final accuracy.
+        """
+        p1 = self.solve(overrides, niter=niter_low, dtype=low_dtype,
+                        rtol=low_rtol,
+                        **{k: v for k, v in kw.items()
+                           if k not in ("rtol", "atol")})
+        p2 = self.solve(overrides, x0=p1.x, h0=p1.h, mu0=p1.mu,
+                        niter=niter, **kw)
+        return BatchResult(
+            x=p2.x, h=p2.h, mu=p2.mu,
+            iterations=p1.iterations + p2.iterations,
+            converged=p2.converged,
+            primal_residual=jnp.concatenate(
+                [p1.primal_residual, p2.primal_residual], axis=1),
+            dual_residual=jnp.concatenate(
+                [p1.dual_residual, p2.dual_residual], axis=1))

@@ -1,0 +1,247 @@
+"""Fused fast path for 2-block identity-coupled problems.
+
+Drives :func:`admmsolver_tpu.ops.kernels.fused_two_block_chunk`: the
+Pallas kernel runs ``interval_update_mu``-iteration chunks with the state
+VMEM-resident; between chunks an XLA step computes residuals, the
+convergence predicate, and the adaptive penalty update (the same
+residual-balancing rule as the engine, reference ``optimizer.py:277-299``),
+then refreshes the spectral denominators — penalty updates and
+factorization refresh stay a static schedule, now at chunk granularity.
+
+Scope: ``Model([LeastSquares-like spectral block, L1 or NonNegative],
+[(1, 0, c·I, c·I)])`` in float32.  Everything else uses
+:class:`~admmsolver_tpu.parallel.batch.BatchedSolver`.  Convergence is
+checked once per chunk (not per iteration as the reference does) — lanes
+may run up to one chunk longer than strictly needed; solutions are
+unaffected.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.objectivefunc import (L1Regularizer, NonNegativePenalty,
+                                    _ShiftedQuadratic)
+from ..models.problem import Model
+from ..ops.kernels import fused_two_block_chunk
+from ..ops.linop import ScaledIdentityMatrix
+
+__all__ = ["FusedTwoBlockSolver", "FusedResult"]
+
+
+@dataclasses.dataclass
+class FusedResult:
+    x0: jnp.ndarray
+    x1: jnp.ndarray
+    h: jnp.ndarray
+    mu: jnp.ndarray
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+    primal_residual: jnp.ndarray  # (B, nchunks) per-chunk samples
+    dual_residual: jnp.ndarray
+
+
+def _is_identity_si(E) -> bool:
+    return (isinstance(E, ScaledIdentityMatrix) and E.is_square()
+            and np.allclose(np.asarray(E.coeff), 1.0))
+
+
+class FusedTwoBlockSolver:
+    """VMEM-resident fused solver for the flagship 2-block family."""
+
+    def __init__(self, model: Model, tile_b: int = 128,
+                 interpret: Optional[bool] = None) -> None:
+        assert model.num_func == 2, "fused path covers 2-block models"
+        assert model.pairs == [(1, 0)], "blocks must be coupled"
+        E10, E01 = model.E[(1, 0)], model.E[(0, 1)]
+        if not (_is_identity_si(E10) and _is_identity_si(E01)):
+            raise ValueError(
+                "fused path requires identity couplings; use BatchedSolver")
+        f0, f1 = model.functions
+        if not (isinstance(f0, _ShiftedQuadratic) and f0._spectral_ok()):
+            raise ValueError(
+                "block 0 must be a dense-Gram quadratic (LeastSquares/L2)")
+        if isinstance(f1, L1Regularizer):
+            self.prox = "l1"
+        elif isinstance(f1, NonNegativePenalty):
+            self.prox = "nonneg"
+        else:
+            raise ValueError(
+                f"block 1 must be L1 or NonNegative, got {type(f1).__name__}")
+        self.model = model
+        self.f0 = f0
+        self.tile_b = int(tile_b)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = bool(interpret)
+
+        lam, U = f0._get_eig()
+        self.lam = jnp.asarray(np.asarray(lam), dtype=jnp.float32)
+        self.U = jnp.asarray(np.asarray(U), dtype=jnp.float32)
+        self.Ut = jnp.asarray(np.asarray(U).T.copy(), dtype=jnp.float32)
+        self.N = self.U.shape[0]
+        assert self.N % 128 == 0 or self.interpret, (
+            f"N={self.N} must be a multiple of 128 on TPU; pad the problem "
+            "or use BatchedSolver")
+
+    @functools.lru_cache(maxsize=8)
+    def _make_step(self, n_iters: int):
+        """One compiled chunk step: kernel iterations + residuals +
+        penalty update (cached per chunk length)."""
+        lam, U, Ut = self.lam, self.U, self.Ut
+        prox, tile_b, interpret = self.prox, self.tile_b, self.interpret
+
+        if True:
+            def step(state, acy, alpha_ls, alpha1, tols, knobs, do_mu):
+                x0, x1, h, mu, done, count = state
+                rtol, atol = tols
+                fact_incr, th_change, max_mu = knobs
+                dinv = 1.0 / (alpha_ls[:, None] * lam[None, :] + mu)
+                if prox == "l1":
+                    thr = 0.5 * alpha1[:, None] / mu
+                else:
+                    thr = jnp.zeros_like(mu)
+                x0n, x1n, hn, x0p = fused_two_block_chunk(
+                    U, Ut, dinv, acy, mu, thr, x0, x1, h,
+                    n_iters=n_iters, prox=prox, tile_b=tile_b,
+                    interpret=interpret)
+                active = jnp.logical_not(done)
+                am = active[:, None]
+                x0n = jnp.where(am, x0n, x0)
+                x1n = jnp.where(am, x1n, x1)
+                hn = jnp.where(am, hn, h)
+
+                # residuals of the chunk's final iteration (engine
+                # semantics: pair (1,0), E both identity)
+                pn = jnp.linalg.norm(x0n - x1n, axis=1)
+                dn = mu[:, 0] * jnp.linalg.norm(x0n - x0p, axis=1)
+                n0 = jnp.linalg.norm(x0n, axis=1)
+                n1 = jnp.linalg.norm(x1n, axis=1)
+                d1 = mu[:, 0] * n0
+                d2 = mu[:, 0] * jnp.linalg.norm(x0p, axis=1)
+                conv = ((pn / jnp.maximum(n0, n1) < rtol) &
+                        (dn / jnp.maximum(d1, d2) < rtol))
+                conv = conv | ((pn < atol) & (dn < atol))
+                done_new = done | (active & conv)
+
+                # residual-balancing penalty update (chunk-granular)
+                mu1 = mu[:, 0]
+                mu_new = jnp.where(pn > th_change * dn, mu1 * fact_incr, mu1)
+                mu_new = jnp.where(dn > th_change * pn, mu_new / fact_incr,
+                                   mu_new)
+                mu_new = jnp.minimum(mu_new, max_mu)
+                upd = do_mu & active & jnp.logical_not(done_new)
+                mu_out = jnp.where(upd, mu_new, mu1)[:, None]
+
+                count = count + active.astype(count.dtype) * n_iters
+                state = (x0n, x1n, hn, mu_out, done_new, count)
+                return state, (pn, dn)
+
+            return jax.jit(step)
+
+    def solve(self,
+              overrides: Optional[Dict] = None,
+              batch_size: Optional[int] = None,
+              niter: int = 10000,
+              mu0=1.0,
+              interval_update_mu: int = 100,
+              rtol: float = 1e-12,
+              atol: float = 0.0,
+              fact_incr: float = 2.0,
+              th_change: float = 10.0,
+              max_mu: float = 1e3,
+              x0=None, x1=None, h0=None) -> FusedResult:
+        """Solve a batch.  ``overrides``: ``{(0,'y'): (B,M), (0,'alpha'):
+        (B,), (1,'alpha'): (B,)}`` subsets, as in BatchedSolver."""
+        overrides = dict(overrides or {})
+        B = batch_size
+        for v in overrides.values():
+            B = np.shape(v)[0]
+        if B is None:
+            raise ValueError("pass overrides or batch_size")
+
+        # pad B to tile multiple
+        Bp = ((B + self.tile_b - 1) // self.tile_b) * self.tile_b
+
+        def batch_of(key, default, shape1):
+            if key in overrides:
+                a = jnp.asarray(overrides[key], dtype=jnp.float32)
+            else:
+                a = jnp.broadcast_to(
+                    jnp.asarray(default, dtype=jnp.float32), (B,) + shape1)
+            if Bp != B:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (Bp - B,) + a.shape[1:])])
+            return a
+
+        f0 = self.f0
+        ys = overrides.get((0, "y"))
+        if ys is not None:
+            Ac = np.asarray(f0._Ac.asmatrix())
+            acy = jnp.asarray(np.asarray(ys) @ Ac.T, dtype=jnp.float32)
+            if Bp != B:
+                acy = jnp.concatenate(
+                    [acy, jnp.broadcast_to(acy[:1], (Bp - B, self.N))])
+        else:
+            acy1 = jnp.asarray(np.asarray(f0._Acy), dtype=jnp.float32)
+            acy = jnp.broadcast_to(acy1, (Bp, self.N))
+        alpha_ls = batch_of((0, "alpha"), float(f0._alpha), ())
+        acy = acy * alpha_ls[:, None]
+        a1_default = getattr(self.model.functions[1], "_alpha", 0.0)
+        alpha1 = batch_of((1, "alpha"), float(a1_default or 0.0), ())
+
+        z = lambda: jnp.zeros((Bp, self.N), dtype=jnp.float32)
+        pad_state = lambda a: (
+            jnp.asarray(a, dtype=jnp.float32) if np.shape(a)[0] == Bp
+            else jnp.concatenate([
+                jnp.asarray(a, dtype=jnp.float32),
+                jnp.zeros((Bp - B, self.N), jnp.float32)]))
+        x0a = pad_state(x0) if x0 is not None else z()
+        x1a = pad_state(x1) if x1 is not None else z()
+        ha = pad_state(h0) if h0 is not None else z()
+        mu = jnp.full((Bp, 1), float(mu0) if np.ndim(mu0) == 0 else 1.0,
+                      dtype=jnp.float32)
+        if np.ndim(mu0) == 1:
+            m = jnp.asarray(mu0, dtype=jnp.float32)
+            if Bp != B:
+                m = jnp.concatenate([m, jnp.broadcast_to(m[:1], (Bp - B,))])
+            mu = m[:, None]
+
+        interval = int(interval_update_mu)
+
+        tols = (jnp.float32(rtol), jnp.float32(atol))
+        knobs = (jnp.float32(fact_incr), jnp.float32(th_change),
+                 jnp.float32(max_mu))
+        state = (x0a, x1a, ha, mu,
+                 jnp.zeros(Bp, dtype=bool), jnp.zeros(Bp, jnp.int32))
+
+        # reference schedule: penalty update after iterations 0, interval,
+        # 2*interval, ... (optimizer.py:319-320); chunk boundaries align
+        # with it, remainder chunks skip the update.
+        pns, dns = [], []
+        it = 0
+        while it < niter:
+            n = 1 if it == 0 else min(interval, niter - it)
+            is_boundary = ((it + n - 1) % interval) == 0
+            step = self._make_step(n)
+            state, (pn, dn) = step(state, acy, alpha_ls, alpha1, tols,
+                                   knobs, jnp.asarray(is_boundary))
+            pns.append(pn)
+            dns.append(dn)
+            it += n
+            if bool(jnp.all(state[4])):
+                break
+
+        x0f, x1f, hf, muf, done, count = state
+        trim = lambda a: a[:B]
+        return FusedResult(
+            x0=trim(x0f), x1=trim(x1f), h=trim(hf), mu=trim(muf[:, 0]),
+            iterations=trim(jnp.minimum(count, niter)),
+            converged=trim(done),
+            primal_residual=trim(jnp.stack(pns, axis=1)),
+            dual_residual=trim(jnp.stack(dns, axis=1)))

@@ -132,6 +132,22 @@ def test_three_block_batched():
         assert np.all(np.asarray(res.x[2][b]).real >= -1e-12)
 
 
+def test_model_reuse_across_solvers():
+    """The SAME Model object driven by SimpleOptimizer and then
+    BatchedSolver (regression: the eigendecomposition cache used to leak
+    jit tracers across traces)."""
+    rng = np.random.RandomState(17)
+    M, N = 10, 20
+    A = rng.randn(M, N)
+    y = rng.randn(M)
+    m = _bp_template(A, y)
+    o = SimpleOptimizer(m)
+    o.solve(30)
+    bs = BatchedSolver(m)
+    res = bs.solve({(1, "alpha"): np.array([0.05, 0.5])}, niter=30)
+    assert np.isfinite(np.asarray(res.x[0])).all()
+
+
 def test_override_validation():
     rng = np.random.RandomState(0)
     A = rng.randn(4, 6)

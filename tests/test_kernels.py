@@ -1,0 +1,109 @@
+"""Pallas fused-kernel tests (interpret mode on CPU; the engine is the
+oracle — the kernel must reproduce the XLA iteration math)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from admmsolver_tpu import (L1Regularizer, LeastSquares, Model,
+                            NonNegativePenalty, identity,
+                            DiagonalMatrix)
+from admmsolver_tpu.parallel import BatchedSolver
+from admmsolver_tpu.parallel.fused import FusedTwoBlockSolver
+
+
+def _bp(A, y, alpha=0.1, block1="l1"):
+    N = A.shape[1]
+    b1 = (L1Regularizer(alpha, N) if block1 == "l1"
+          else NonNegativePenalty(N))
+    return Model([LeastSquares(1.0, A, y), b1],
+                 [(1, 0, identity(N), identity(N))])
+
+
+def _setup(B=8, M=64, N=128, seed=0):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(M, N)
+    xt = np.zeros((B, N))
+    for b in range(B):
+        xt[b, rng.choice(N, 8, replace=False)] = rng.randn(8)
+    return A, xt @ A.T, xt
+
+
+def test_fused_matches_engine_l1():
+    A, ys, _ = _setup()
+    t = _bp(A, ys[0])
+    fs = FusedTwoBlockSolver(t, tile_b=4)
+    rf = fs.solve({(0, "y"): ys}, niter=401, rtol=1e-7)
+    rb = BatchedSolver(t).solve({(0, "y"): ys}, niter=401, rtol=1e-7,
+                                dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(rf.x0), np.asarray(rb.x[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rf.h), np.asarray(rb.h[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rf.mu),
+                               np.asarray(rb.mu[:, 0]), rtol=1e-6)
+
+
+def test_fused_matches_engine_nonneg():
+    A, ys, _ = _setup(seed=3)
+    ys = np.abs(ys)
+    t = _bp(A, ys[0], block1="nonneg")
+    fs = FusedTwoBlockSolver(t, tile_b=4)
+    # strict short-horizon match (before f32 rounding noise amplifies in
+    # the shrinkage-free nonneg iteration)
+    rf = fs.solve({(0, "y"): ys}, niter=21)
+    rb = BatchedSolver(t).solve({(0, "y"): ys}, niter=21,
+                                dtype=jnp.float32)
+    # different-but-equivalent contraction orders: ~1e-5 f32 noise/iter
+    np.testing.assert_allclose(np.asarray(rf.x0), np.asarray(rb.x[0]),
+                               atol=1e-3)
+    # long horizon: same fixed point neighborhood
+    rf = fs.solve({(0, "y"): ys}, niter=201)
+    rb = BatchedSolver(t).solve({(0, "y"): ys}, niter=201,
+                                dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(rf.x0), np.asarray(rb.x[0]),
+                               atol=1e-2)
+    assert np.asarray(rf.x1).min() >= 0
+
+
+def test_fused_lambda_sweep_and_padding():
+    """Per-lane L1 strengths + batch not a tile multiple (auto-pad)."""
+    A, ys, xt = _setup(B=6)
+    t = _bp(A, ys[0])
+    fs = FusedTwoBlockSolver(t, tile_b=4)  # 6 -> padded to 8
+    lam = np.logspace(-2, 0, 6)
+    rf = fs.solve({(0, "y"): ys, (1, "alpha"): lam}, niter=301)
+    assert rf.x0.shape == (6, A.shape[1])
+    rb = BatchedSolver(t).solve({(0, "y"): ys, (1, "alpha"): lam},
+                                niter=301, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(rf.x0), np.asarray(rb.x[0]),
+                               atol=2e-4)
+
+
+def test_fused_rejects_unsupported():
+    A, ys, _ = _setup()
+    N = A.shape[1]
+    # non-identity coupling
+    t = Model([LeastSquares(1.0, A, ys[0]), L1Regularizer(0.1, N)],
+              [(1, 0, DiagonalMatrix(jnp.asarray(np.ones(N) * 2.0)),
+                identity(N))])
+    with pytest.raises(ValueError, match="identity couplings"):
+        FusedTwoBlockSolver(t)
+    # 3-block model
+    t3 = Model(
+        [LeastSquares(1.0, A, ys[0]), L1Regularizer(0.1, N),
+         NonNegativePenalty(N)],
+        [(1, 0, identity(N), identity(N)),
+         (2, 0, identity(N), identity(N))])
+    with pytest.raises(AssertionError):
+        FusedTwoBlockSolver(t3)
+
+
+def test_fused_atol_early_exit():
+    A, ys, _ = _setup()
+    t = _bp(A, ys[0])
+    fs = FusedTwoBlockSolver(t, tile_b=4)
+    # f32 floors around ~1e-5 absolute residual on this problem; 1e-3 is
+    # comfortably reachable
+    rf = fs.solve({(0, "y"): ys}, niter=5001, atol=1e-3)
+    assert np.asarray(rf.converged).all()
+    assert np.asarray(rf.iterations).max() < 5001
