@@ -215,10 +215,14 @@ class _ShiftedQuadratic:
             lam, U = self._get_eig()
             lam = _match_precision(jnp.asarray(lam), rhs.dtype)
             U = _match_precision(jnp.asarray(U), rhs.dtype)
-            w = U.conj().T @ rhs
+            # Full f32 MXU precision: the TPU default is single-pass bf16
+            # (~1e-3 relative), which corrupts the solve and flips
+            # penalty-adaptation decisions.
+            hi = jax.lax.Precision.HIGHEST
+            w = jnp.matmul(U.conj().T, rhs, precision=hi)
             denom = self._alpha * lam + factors.shift
             w = w / (denom if w.ndim == 1 else denom[:, None])
-            return U @ w
+            return jnp.matmul(U, w, precision=hi)
         return factors @ rhs
 
 

@@ -21,6 +21,17 @@ from .objectivefunc import ObjectiveFunctionBase
 __all__ = ["EqualityCondition", "Model", "Problem"]
 
 
+class PairMap(dict):
+    """Coupling map indexed by block pairs.
+
+    Supports both ``E[i, j]`` and ``E[(i, j)]`` and returns ``None`` for
+    uncoupled pairs, matching the reference's ``None``-filled object
+    ndarray (``optimizer.py:56-58``)."""
+
+    def __missing__(self, key):
+        return None
+
+
 class EqualityCondition:
     """Coupling ``E1 @ x_{i1} - E2 @ x_{i2} = 0`` with ``i1 != i2``
     (reference ``optimizer.py:12-38``)."""
@@ -59,9 +70,9 @@ class Model:
         # E[(i, j)]: operator applied to x_j in the constraint coupling
         # blocks i and j; populated symmetrically like the reference's
         # object array (optimizer.py:113-114).
-        self._E: Dict[Tuple[int, int], MatrixBase] = {}
-        self._EcE: Dict[Tuple[int, int], MatrixBase] = {}
-        self._EcE2: Dict[Tuple[int, int], MatrixBase] = {}
+        self._E: Dict[Tuple[int, int], MatrixBase] = PairMap()
+        self._EcE: Dict[Tuple[int, int], MatrixBase] = PairMap()
+        self._EcE2: Dict[Tuple[int, int], MatrixBase] = PairMap()
 
         for ie, e in enumerate(equality_conditions):
             try:

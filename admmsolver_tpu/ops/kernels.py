@@ -44,9 +44,14 @@ __all__ = ["fused_two_block_chunk"]
 def _iteration_body(U, Ut, dinv, acy, mu, thr, prox: str, carry):
     x0, x1, h, _ = carry
     v = acy + h + mu * x1
-    w = jnp.dot(v, U, preferred_element_type=jnp.float32)  # U† v (U real)
+    # Precision.HIGHEST: TPU f32 dots default to 1-pass bf16 (~1e-3
+    # relative error) which corrupts the shifted-quadratic solve.
+    hi = jax.lax.Precision.HIGHEST
+    w = jnp.dot(v, U, preferred_element_type=jnp.float32,
+                precision=hi)  # U† v (U real)
     w = w * dinv
-    x0_new = jnp.dot(w, Ut, preferred_element_type=jnp.float32)
+    x0_new = jnp.dot(w, Ut, preferred_element_type=jnp.float32,
+                     precision=hi)
     z = x0_new - h / mu
     if prox == "l1":
         x1_new = jnp.sign(z) * jnp.maximum(jnp.abs(z) - thr, 0.0)

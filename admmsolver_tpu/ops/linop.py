@@ -237,8 +237,10 @@ class DenseMatrix(MatrixBase):
 
     def matvec(self, v):
         v = _asarray(v)
+        # HIGHEST: TPU f32 contractions default to bf16 passes.
         return jnp.tensordot(_match_precision(self.data, v.dtype), v,
-                             axes=((1,), (0,)))
+                             axes=((1,), (0,)),
+                             precision=jax.lax.Precision.HIGHEST)
 
     def effective_diagonal(self):
         return None
@@ -493,7 +495,8 @@ class PartialDiagonalMatrix(MatrixBase):
             res = small.matvec(vr)
         else:
             res = jnp.tensordot(_match_precision(small.asmatrix(), vr.dtype),
-                                vr, axes=((1,), (0,)))
+                                vr, axes=((1,), (0,)),
+                                precision=jax.lax.Precision.HIGHEST)
         return res.reshape(out_shape)
 
     def effective_diagonal(self):
