@@ -238,7 +238,7 @@ class ADMMPlan:
         return jnp.minimum(mu_new, max_mu)
 
     def iteration(self, carry, buf_idx, global_it, cfg: ADMMConfig, tols,
-                  functions=None):
+                  functions=None, compute_residuals: bool = True):
         """One reference iteration of ``solve()`` (optimizer.py:310-320):
         sweep → fused residuals/convergence → scheduled mu update.
 
@@ -255,6 +255,20 @@ class ADMMPlan:
 
         x_new, h_new, prods = self.sweep(
             x, h, mu, factors, cfg.update_h, functions)
+
+        if not compute_residuals:
+            # Sweep-only iteration (the chunked-checks fast mode: residual
+            # norms, convergence, penalty adaptation, and history recording
+            # all happen on the chunk-boundary iteration instead).
+            x_out = tuple(jnp.where(active, a, b) for a, b in zip(x_new, x))
+            xp_out = tuple(jnp.where(active, a, b)
+                           for a, b in zip(x, x_prev))
+            h_out = tuple(jnp.where(active, a, b) for a, b in zip(h_new, h))
+            count = count + active.astype(count.dtype)
+            carry_out = (x_out, xp_out, h_out, mu, factors, done, count,
+                         pbuf, dbuf)
+            return carry_out, jnp.array(False)
+
         primal_norms, dual_norms, convs = self.pair_residuals(
             x_new, x, mu, prods)
 

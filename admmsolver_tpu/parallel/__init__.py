@@ -1,5 +1,6 @@
 from .batch import BatchedSolver, BatchResult
 from .fused import FusedTwoBlockSolver, FusedResult
+from .scheduler import ScenarioScheduler, ScenarioResult
 from .mesh import (
     make_mesh,
     batch_sharding,

@@ -146,7 +146,8 @@ class BatchedSolver:
 
     # -- compiled batched run ---------------------------------------------
     @functools.lru_cache(maxsize=32)
-    def _compiled(self, cfg: ADMMConfig, ov_keys: tuple, record: bool):
+    def _compiled(self, cfg: ADMMConfig, ov_keys: tuple, record: bool,
+                  chunked_checks: bool = False):
         plan = self.plan
         interval = cfg.interval_update_mu
         niter = cfg.niter
@@ -171,6 +172,12 @@ class BatchedSolver:
             functions = self._bind(dict(zip(loop_keys, ov2)))
             return plan.iteration(carry, buf_idx, git, cfg, tols, functions)
 
+        def one_iter_sweep_only(ov2, carry, git):
+            functions = self._bind(dict(zip(loop_keys, ov2)))
+            carry, _ = plan.iteration(carry, 0, git, cfg, (0.0, 0.0),
+                                      functions, compute_residuals=False)
+            return carry
+
         def refactor(ov2, carry):
             functions = self._bind(dict(zip(loop_keys, ov2)))
             x, xp, h, mu, _, done, count, pb, db = carry
@@ -178,6 +185,7 @@ class BatchedSolver:
             return (x, xp, h, mu, factors, done, count, pb, db)
 
         v_iter = jax.vmap(one_iter, in_axes=(0, 0, None, None, None))
+        v_iter_sweep = jax.vmap(one_iter_sweep_only, in_axes=(0, 0, None))
         v_refactor = jax.vmap(refactor, in_axes=(0, 0))
         v_factors = jax.vmap(
             lambda ov2, mu: plan.compute_factors(
@@ -211,22 +219,39 @@ class BatchedSolver:
                 done = carry[5]
                 return (it < niter) & jnp.logical_not(jnp.all(done))
 
+            def masked(new_carry, carry, skip):
+                # Mask iterations past the requested budget (the last
+                # chunk may overshoot niter).
+                return jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(skip, o, n), new_carry, carry)
+
             def chunk_body(state):
                 it, carry = state
 
-                def scan_body(carry, i):
-                    git = it + i
-                    skip = git >= niter
-                    buf_idx = jnp.minimum(git, niter - 1) if record else 0
-                    new_carry = step(carry, buf_idx, git)
-                    # Mask iterations past the requested budget (the last
-                    # chunk may overshoot niter).
-                    merged = jax.tree_util.tree_map(
-                        lambda n, o: jnp.where(skip, o, n), new_carry, carry)
-                    return merged, None
+                if chunked_checks:
+                    # Sweep-only iterations; residuals/convergence/penalty
+                    # only on the boundary iteration of the chunk.
+                    def scan_body(carry, i):
+                        git = it + i
+                        new_carry = v_iter_sweep(ov2, carry, git)
+                        return masked(new_carry, carry, git >= niter), None
 
-                carry, _ = jax.lax.scan(
-                    scan_body, carry, jnp.arange(interval))
+                    carry, _ = jax.lax.scan(
+                        scan_body, carry, jnp.arange(interval - 1))
+                    git = it + interval - 1
+                    buf_idx = jnp.minimum(git, niter - 1) if record else 0
+                    carry = masked(step(carry, buf_idx, git), carry,
+                                   git >= niter)
+                else:
+                    def scan_body(carry, i):
+                        git = it + i
+                        buf_idx = (jnp.minimum(git, niter - 1)
+                                   if record else 0)
+                        new_carry = step(carry, buf_idx, git)
+                        return masked(new_carry, carry, git >= niter), None
+
+                    carry, _ = jax.lax.scan(
+                        scan_body, carry, jnp.arange(interval))
                 carry = v_refactor(ov2, carry)
                 return (it + interval, carry)
 
@@ -251,12 +276,19 @@ class BatchedSolver:
               atol: float = 0.0,
               max_mu: float = 1e3,
               record_residuals: bool = True,
-              dtype=None) -> BatchResult:
+              dtype=None,
+              chunked_checks: bool = False) -> BatchResult:
         """Solve the batch.  Reference-default knobs
         (``optimizer.py:302-309,125``); ``atol`` adds an absolute
         primal+dual residual stop (0 = off); ``dtype`` overrides the
         solver's state dtype for this call (mixed-precision phases);
-        ``h0`` warm-starts the duals (resume / phase hand-off)."""
+        ``h0`` warm-starts the duals (resume / phase hand-off);
+        ``chunked_checks=True`` evaluates residuals/convergence/penalty
+        adaptation only on penalty-boundary iterations (throughput mode —
+        histories have one sample per ``interval_update_mu`` iterations
+        and lanes may overrun their convergence point by up to one
+        interval; the default preserves exact per-iteration reference
+        semantics)."""
         if niter <= 0:
             raise ValueError("niter must be positive for batched solves")
         dtype = self.dtype if dtype is None else jnp.dtype(dtype)
@@ -321,7 +353,8 @@ class BatchedSolver:
                          update_h=bool(update_h), max_mu=float(max_mu))
         ov_keys = tuple(sorted(overrides.keys()))
         ov_vals = tuple(jnp.asarray(overrides[k]) for k in ov_keys)
-        run = self._compiled(cfg, ov_keys, bool(record_residuals))
+        run = self._compiled(cfg, ov_keys, bool(record_residuals),
+                             bool(chunked_checks))
         x, h, mu, done, count, pbuf, dbuf = run(ov_vals, x, h, mu,
                                                 (rtol, atol))
         if B_orig != B:

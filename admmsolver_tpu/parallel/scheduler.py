@@ -1,0 +1,150 @@
+"""Scenario scheduler: continuous batching over a stream of problems.
+
+BASELINE.json calls for "a scenario-batch scheduler with consensus
+reductions across hosts": when there are more independent problem
+instances (scenarios) than fit one device batch — 10k+ per-frequency SpM
+problems, dense λ grids — a fixed-width batch runs on the device and the
+scheduler swaps **converged lanes out and fresh scenarios in** at chunk
+boundaries, keeping device utilization high instead of waiting for the
+slowest lane of a static batch (the same idea as continuous batching in
+LLM serving).
+
+Runs on top of :class:`~admmsolver_tpu.parallel.batch.BatchedSolver`
+(sharded or not); each wave is one compiled multi-iteration call.  The
+penalty-update schedule restarts per wave, matching the reference's
+behavior under repeated ``solve()`` calls (``optimizer.py:310,319``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .batch import BatchedSolver
+
+__all__ = ["ScenarioScheduler", "ScenarioResult"]
+
+
+@dataclasses.dataclass
+class ScenarioResult:
+    """Outcome of one scenario."""
+
+    scenario_id: int
+    x: Tuple[np.ndarray, ...]
+    iterations: int
+    converged: bool
+    final_mu: np.ndarray
+
+
+class ScenarioScheduler:
+    """Drain a stream of scenarios through a fixed-width device batch.
+
+    ``scenarios``: iterable of override dicts ``{(block, field): value}``
+    (unbatched per-instance values, same keys for every scenario).
+    Lanes whose problem converges (``atol``/``rtol``) or exhausts
+    ``niter_max`` are harvested and refilled each ``chunk_iters``-iteration
+    wave.
+    """
+
+    def __init__(self, solver: BatchedSolver, batch_size: int,
+                 chunk_iters: int = 100, niter_max: int = 10000,
+                 rtol: float = 1e-12, atol: float = 0.0,
+                 mu0: float = 1.0, **solve_kw) -> None:
+        self.solver = solver
+        self.B = int(batch_size)
+        self.chunk_iters = int(chunk_iters)
+        self.niter_max = int(niter_max)
+        self.rtol = rtol
+        self.atol = atol
+        self.mu0 = float(mu0)
+        self.solve_kw = solve_kw
+
+    def run(self, scenarios: Iterable[Dict]) -> List[ScenarioResult]:
+        plan = self.solver.plan
+        it = iter(enumerate(scenarios))
+        B = self.B
+
+        # Lane state (host mirrors; device work happens per wave).
+        first = next(it, None)
+        if first is None:
+            return []
+        sid0, ov0 = first
+        keys = tuple(sorted(ov0.keys()))
+
+        lane_sid = np.full(B, -1, dtype=np.int64)
+        lane_iters = np.zeros(B, dtype=np.int64)
+        lane_ov = {k: np.zeros((B,) + np.shape(np.asarray(ov0[k])),
+                               dtype=np.asarray(ov0[k]).dtype)
+                   for k in keys}
+        dtype = self.solver.dtype
+        x = [np.zeros((B, n), dtype=dtype) for n in plan.block_sizes]
+        h = [np.zeros((B, s), dtype=dtype) for s in plan.pair_sizes]
+        mu = np.full((B, plan.npairs), self.mu0)
+
+        def load(lane: int, sid: int, ov: Dict) -> None:
+            assert tuple(sorted(ov.keys())) == keys, \
+                f"scenario {sid} keys {sorted(ov.keys())} != {keys}"
+            lane_sid[lane] = sid
+            lane_iters[lane] = 0
+            for k in keys:
+                lane_ov[k][lane] = np.asarray(ov[k])
+            for a in x:
+                a[lane] = 0
+            for a in h:
+                a[lane] = 0
+            mu[lane] = self.mu0
+
+        load(0, sid0, ov0)
+        pending = True
+        for lane in range(1, B):
+            nxt = next(it, None)
+            if nxt is None:
+                pending = False
+                break
+            load(lane, *nxt)
+
+        results: List[ScenarioResult] = []
+
+        while (lane_sid >= 0).any():
+            res = self.solver.solve(
+                overrides={k: lane_ov[k] for k in keys},
+                x0=tuple(np.asarray(a) for a in x),
+                h0=tuple(np.asarray(a) for a in h),
+                mu0=np.asarray(mu),
+                niter=self.chunk_iters, rtol=self.rtol, atol=self.atol,
+                record_residuals=False, **self.solve_kw)
+            # np.array (copy): np.asarray on device arrays gives read-only
+            # views, and lanes are mutated on reload.
+            for i, a in enumerate(res.x):
+                x[i] = np.array(a)
+            for i, a in enumerate(res.h):
+                h[i] = np.array(a)
+            mu = np.array(res.mu)
+            conv = np.asarray(res.converged)
+            lane_iters += np.asarray(res.iterations)
+
+            for lane in range(B):
+                if lane_sid[lane] < 0:
+                    continue
+                done = bool(conv[lane]) or lane_iters[lane] >= self.niter_max
+                if not done:
+                    continue
+                results.append(ScenarioResult(
+                    scenario_id=int(lane_sid[lane]),
+                    x=tuple(np.array(a[lane]) for a in x),
+                    iterations=int(lane_iters[lane]),
+                    converged=bool(conv[lane]),
+                    final_mu=np.array(mu[lane])))
+                nxt = next(it, None) if pending else None
+                if nxt is None:
+                    pending = False
+                    lane_sid[lane] = -1
+                    # park the lane on a converged no-op state
+                    lane_iters[lane] = 0
+                else:
+                    load(lane, *nxt)
+
+        results.sort(key=lambda r: r.scenario_id)
+        return results

@@ -174,6 +174,64 @@ def test_empty_overrides_with_batch_size():
                                np.asarray(res.x[0][2]), atol=1e-14)
 
 
+def test_chunked_checks_identical_at_fixed_iterations():
+    """chunked_checks skips per-iteration residual work; with no early
+    exit possible the final state must be bitwise identical."""
+    rng = np.random.RandomState(13)
+    M, N, B = 12, 30, 4
+    A = rng.randn(M, N)
+    ys = rng.randn(B, M)
+    bs = BatchedSolver(_bp_template(A, ys[0]))
+    r1 = bs.solve({(0, "y"): ys}, niter=250, rtol=0.0)
+    r2 = bs.solve({(0, "y"): ys}, niter=250, rtol=0.0,
+                  chunked_checks=True)
+    np.testing.assert_array_equal(np.asarray(r1.x[0]),
+                                  np.asarray(r2.x[0]))
+    np.testing.assert_array_equal(np.asarray(r1.mu), np.asarray(r2.mu))
+
+
+def test_chunked_checks_converges():
+    rng = np.random.RandomState(14)
+    M, N, B = 12, 30, 3
+    A = rng.randn(M, N)
+    ys = rng.randn(B, M)
+    bs = BatchedSolver(_bp_template(A, ys[0]))
+    res = bs.solve({(0, "y"): ys}, niter=5000, atol=1e-8,
+                   chunked_checks=True)
+    assert np.asarray(res.converged).all()
+    # convergence granularity is the interval
+    assert (np.asarray(res.iterations) % 100 <= 1).all()
+
+
+def test_batched_psd_block():
+    """SemiPositiveDefinite penalty inside the batched driver (batched
+    eigh under vmap in the compiled loop)."""
+    from admmsolver_tpu import SemiPositiveDefinitePenalty
+
+    rng = np.random.RandomState(15)
+    n, K, B = 3, 2, 3
+    N = n * n * K
+    A = rng.randn(2 * N, N)
+    xt = np.zeros((B, n, n, K))
+    for b in range(B):
+        for k in range(K):
+            R = rng.randn(n, n)
+            xt[b, :, :, k] = R @ R.T / n
+    ys = xt.reshape(B, N) @ A.T
+    m = Model([LeastSquares(1.0, A, ys[0]),
+               SemiPositiveDefinitePenalty((n, n, K), axis=2)],
+              [(1, 0, identity(N), identity(N))])
+    res = BatchedSolver(m).solve({(0, "y"): ys}, niter=600)
+    x = np.asarray(res.x[1]).real.reshape(B, n, n, K)
+    for b in range(B):
+        for k in range(K):
+            evals = np.linalg.eigvalsh(
+                0.5 * (x[b, :, :, k] + x[b, :, :, k].T))
+            assert evals.min() > -1e-8
+    np.testing.assert_allclose(
+        np.asarray(res.x[0]).real.reshape(B, n, n, K), xt, atol=5e-2)
+
+
 def test_record_residuals_off():
     rng = np.random.RandomState(1)
     A = rng.randn(4, 6)
