@@ -336,7 +336,11 @@ class ConstrainedLeastSquares(LeastSquares):
         Ch = self._C.conjugate().T
         xi2 = -self._apply_B(B, Ch.asmatrix())
         S = self._C @ xi2
-        Sinv = jnp.linalg.inv(S)
+        # S = -C B C† with B PD; QR-based inverse (f64 LU is unimplemented
+        # on the TPU backend)
+        from ..ops.linop import inv_qr
+
+        Sinv = inv_qr(S)
         return (B, xi2, Sinv)
 
     def prox_with_factors(self, factors, h):

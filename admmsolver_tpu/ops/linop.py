@@ -92,6 +92,18 @@ def _asarray(x):
     return x if isinstance(x, (jnp.ndarray, jax.core.Tracer)) else jnp.asarray(x)
 
 
+def inv_qr(a):
+    """General matrix inverse via QR + triangular solve.
+
+    TPU-safe replacement for LU-based ``jnp.linalg.inv``: the axon/v5e
+    backend implements f64 QR/Cholesky/triangular-solve but NOT f64 LU
+    ("Only F32 and C64 types are implemented in LuDecomposition").
+    A⁻¹ = R⁻¹ Q†.
+    """
+    q, r = jnp.linalg.qr(a)
+    return jax.scipy.linalg.solve_triangular(r, q.conj().T, lower=False)
+
+
 class MatrixBase:
     """Abstract structured operator.
 
@@ -229,7 +241,7 @@ class DenseMatrix(MatrixBase):
     conj = conjugate
 
     def inv(self) -> "DenseMatrix":
-        return DenseMatrix(jnp.linalg.inv(self.data))
+        return DenseMatrix(inv_qr(self.data))
 
     def gram(self) -> "DenseMatrix":
         d = self.data
@@ -662,3 +674,22 @@ def asmatrixtype(a) -> MatrixBase:
     a = _asarray(a)
     assert a.ndim == 2
     return DenseMatrix(a)
+
+
+def _vecprod(v1, v2, size: int):
+    """Elementwise product truncated to the shorter vector and zero-padded
+    on the right to ``size`` (rectangular-diagonal product semantics,
+    matrix.py:429-439)."""
+    v1, v2 = _asarray(v1), _asarray(v2)
+    k = min(v1.shape[0], v2.shape[0])
+    return _pad_by_zero(v1[:k] * v2[:k], size)
+
+
+def _pad_by_zero(arr, size: int):
+    """Right-pad a vector with zeros to ``size`` (matrix.py:442-448)."""
+    arr = _asarray(arr)
+    assert arr.shape[0] <= size
+    if arr.shape[0] == size:
+        return arr
+    return jnp.concatenate(
+        [arr, jnp.zeros(size - arr.shape[0], dtype=arr.dtype)])

@@ -359,12 +359,34 @@ class ADMMPlan:
 
         return jax.jit(run)
 
+    def is_complex(self) -> bool:
+        """True when any operator/objective data is complex.
+
+        Drives the default state dtype: the reference is complex128
+        unconditionally (optimizer.py:151,159), but for real-valued
+        problems a real state is semantically identical (every reference
+        prox keeps real data real), 2× cheaper, and — on TPU backends
+        without complex128 support — the only runnable choice.
+        """
+        leaves = []
+        for op in self.model.E.values():
+            leaves.extend(jax.tree_util.tree_leaves(op))
+        for f in self.model.functions:
+            for v in vars(f).values():
+                leaves.extend(
+                    x for x in jax.tree_util.tree_leaves(v)
+                    if hasattr(x, "dtype"))
+        return any(np.issubdtype(np.asarray(l).dtype, np.complexfloating)
+                   for l in leaves if hasattr(l, "dtype"))
+
+    def default_dtype(self):
+        base = np.complex128 if self.is_complex() else np.float64
+        return jax.dtypes.canonicalize_dtype(base)
+
     def make_initial_state(self, x0=None, mu0: float = 1.0, dtype=None):
         """Initial primal/dual state (optimizer.py:141-160)."""
         if dtype is None:
-            # complex128 under x64, complex64 otherwise (the reference is
-            # complex128 end-to-end, optimizer.py:151,159)
-            dtype = jax.dtypes.canonicalize_dtype(np.complex128)
+            dtype = self.default_dtype()
         if x0 is not None:
             assert len(x0) == self.nblocks
             for k, x_ in enumerate(x0):

@@ -90,7 +90,8 @@ class BatchedSolver:
         self.model = model
         self.plan = ADMMPlan(model)
         if dtype is None:
-            dtype = jax.dtypes.canonicalize_dtype(np.complex128)
+            # real problems get a real state (see ADMMPlan.is_complex)
+            dtype = self.plan.default_dtype()
         self.dtype = jnp.dtype(dtype)
         self.sharding = sharding
 

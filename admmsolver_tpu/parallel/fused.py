@@ -96,53 +96,52 @@ class FusedTwoBlockSolver:
         lam, U, Ut = self.lam, self.U, self.Ut
         prox, tile_b, interpret = self.prox, self.tile_b, self.interpret
 
-        if True:
-            def step(state, acy, alpha_ls, alpha1, tols, knobs, do_mu):
-                x0, x1, h, mu, done, count = state
-                rtol, atol = tols
-                fact_incr, th_change, max_mu = knobs
-                dinv = 1.0 / (alpha_ls[:, None] * lam[None, :] + mu)
-                if prox == "l1":
-                    thr = 0.5 * alpha1[:, None] / mu
-                else:
-                    thr = jnp.zeros_like(mu)
-                x0n, x1n, hn, x0p = fused_two_block_chunk(
-                    U, Ut, dinv, acy, mu, thr, x0, x1, h,
-                    n_iters=n_iters, prox=prox, tile_b=tile_b,
-                    interpret=interpret)
-                active = jnp.logical_not(done)
-                am = active[:, None]
-                x0n = jnp.where(am, x0n, x0)
-                x1n = jnp.where(am, x1n, x1)
-                hn = jnp.where(am, hn, h)
+        def step(state, acy, alpha_ls, alpha1, tols, knobs, do_mu):
+            x0, x1, h, mu, done, count = state
+            rtol, atol = tols
+            fact_incr, th_change, max_mu = knobs
+            dinv = 1.0 / (alpha_ls[:, None] * lam[None, :] + mu)
+            if prox == "l1":
+                thr = 0.5 * alpha1[:, None] / mu
+            else:
+                thr = jnp.zeros_like(mu)
+            x0n, x1n, hn, x0p = fused_two_block_chunk(
+                U, Ut, dinv, acy, mu, thr, x0, x1, h,
+                n_iters=n_iters, prox=prox, tile_b=tile_b,
+                interpret=interpret)
+            active = jnp.logical_not(done)
+            am = active[:, None]
+            x0n = jnp.where(am, x0n, x0)
+            x1n = jnp.where(am, x1n, x1)
+            hn = jnp.where(am, hn, h)
 
-                # residuals of the chunk's final iteration (engine
-                # semantics: pair (1,0), E both identity)
-                pn = jnp.linalg.norm(x0n - x1n, axis=1)
-                dn = mu[:, 0] * jnp.linalg.norm(x0n - x0p, axis=1)
-                n0 = jnp.linalg.norm(x0n, axis=1)
-                n1 = jnp.linalg.norm(x1n, axis=1)
-                d1 = mu[:, 0] * n0
-                d2 = mu[:, 0] * jnp.linalg.norm(x0p, axis=1)
-                conv = ((pn / jnp.maximum(n0, n1) < rtol) &
-                        (dn / jnp.maximum(d1, d2) < rtol))
-                conv = conv | ((pn < atol) & (dn < atol))
-                done_new = done | (active & conv)
+            # residuals of the chunk's final iteration (engine
+            # semantics: pair (1,0), E both identity)
+            pn = jnp.linalg.norm(x0n - x1n, axis=1)
+            dn = mu[:, 0] * jnp.linalg.norm(x0n - x0p, axis=1)
+            n0 = jnp.linalg.norm(x0n, axis=1)
+            n1 = jnp.linalg.norm(x1n, axis=1)
+            d1 = mu[:, 0] * n0
+            d2 = mu[:, 0] * jnp.linalg.norm(x0p, axis=1)
+            conv = ((pn / jnp.maximum(n0, n1) < rtol) &
+                    (dn / jnp.maximum(d1, d2) < rtol))
+            conv = conv | ((pn < atol) & (dn < atol))
+            done_new = done | (active & conv)
 
-                # residual-balancing penalty update (chunk-granular)
-                mu1 = mu[:, 0]
-                mu_new = jnp.where(pn > th_change * dn, mu1 * fact_incr, mu1)
-                mu_new = jnp.where(dn > th_change * pn, mu_new / fact_incr,
-                                   mu_new)
-                mu_new = jnp.minimum(mu_new, max_mu)
-                upd = do_mu & active & jnp.logical_not(done_new)
-                mu_out = jnp.where(upd, mu_new, mu1)[:, None]
+            # residual-balancing penalty update (chunk-granular)
+            mu1 = mu[:, 0]
+            mu_new = jnp.where(pn > th_change * dn, mu1 * fact_incr, mu1)
+            mu_new = jnp.where(dn > th_change * pn, mu_new / fact_incr,
+                               mu_new)
+            mu_new = jnp.minimum(mu_new, max_mu)
+            upd = do_mu & active & jnp.logical_not(done_new)
+            mu_out = jnp.where(upd, mu_new, mu1)[:, None]
 
-                count = count + active.astype(count.dtype) * n_iters
-                state = (x0n, x1n, hn, mu_out, done_new, count)
-                return state, (pn, dn)
+            count = count + active.astype(count.dtype) * n_iters
+            state = (x0n, x1n, hn, mu_out, done_new, count)
+            return state, (pn, dn)
 
-            return jax.jit(step)
+        return jax.jit(step)
 
     def solve(self,
               overrides: Optional[Dict] = None,

@@ -295,6 +295,26 @@ def test_effective_diagonal():
     assert ScaledIdentityMatrix((2, 3), 1.0).effective_diagonal() is None
 
 
+def test_vecprod_pad():
+    """Rectangular-diagonal helpers (reference test_matrix.py:247-257)."""
+    from admmsolver_tpu.ops.linop import _pad_by_zero, _vecprod
+
+    np.testing.assert_allclose(
+        np.asarray(_vecprod(np.ones(1), np.ones(2), 3)), [1, 0, 0])
+    np.testing.assert_allclose(
+        np.asarray(_pad_by_zero(np.ones(1), 3)), [1, 0, 0])
+
+
+def test_inv_qr():
+    """LU-free general inverse (the TPU backend lacks f64 LU)."""
+    from admmsolver_tpu.ops.linop import inv_qr
+
+    rng = np.random.RandomState(0)
+    for a in [rng.randn(5, 5), _randn_cmplx(rng, 4, 4)]:
+        np.testing.assert_allclose(np.asarray(inv_qr(a)) @ a, np.eye(len(a)),
+                                   atol=1e-10)
+
+
 def test_pytree_roundtrip():
     """Operators survive jit boundaries as pytrees with static structure."""
     import jax

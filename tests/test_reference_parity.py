@@ -9,7 +9,6 @@ import sys
 import numpy as np
 import pytest
 
-pytest.importorskip
 
 REF_PATH = "/root/reference/src"
 
