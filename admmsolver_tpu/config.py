@@ -26,3 +26,19 @@ class ADMMConfig:
     fact_incr: float = 2.0
     th_change: float = 10.0
     max_mu: float = 1e3
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ADMMConfig":
+        unknown = set(d) - {f.name for f in dataclasses.fields(cls)}
+        if unknown:
+            raise ValueError(f"unknown ADMMConfig keys: {sorted(unknown)}")
+        return cls(**d)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "ADMMConfig":
+        """Load knobs from a YAML file (benchmark-harness convenience;
+        the library itself never reads files)."""
+        import yaml
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})

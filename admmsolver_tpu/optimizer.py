@@ -320,15 +320,16 @@ class ADMMPlan:
     # Single-instance jitted driver
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=32)
-    def _compiled_run(self, cfg: ADMMConfig):
+    def _compiled_run(self, cfg: ADMMConfig, record: bool = True):
         """Jitted full solve: while_loop with early exit and lax.cond
         refactorization at penalty boundaries."""
+        hist = cfg.niter if record else 1
 
         def run(x, h, mu, tols, it_offset):
             factors = self.compute_factors(mu)
             rdtype = jnp.zeros(()).dtype
-            pbuf = jnp.full(cfg.niter, jnp.nan, dtype=rdtype)
-            dbuf = jnp.full(cfg.niter, jnp.nan, dtype=rdtype)
+            pbuf = jnp.full(hist, jnp.nan, dtype=rdtype)
+            dbuf = jnp.full(hist, jnp.nan, dtype=rdtype)
             carry0 = (x, x, h, mu, factors, jnp.array(False),
                       jnp.array(0, dtype=jnp.int32), pbuf, dbuf)
 
@@ -340,7 +341,8 @@ class ADMMPlan:
             def body(state):
                 it, carry = state
                 carry, do_mu = self.iteration(
-                    carry, it, it + it_offset, cfg, tols)
+                    carry, jnp.minimum(it, hist - 1), it + it_offset,
+                    cfg, tols)
                 (x_, xp_, h_, mu_, factors_, done_, count_,
                  pb_, db_) = carry
                 factors_ = jax.lax.cond(
@@ -441,7 +443,8 @@ class SimpleOptimizer:
 
     def solve(self, niter: int = 10000, callback=None,
               interval_update_mu: int = 100, update_h: bool = True,
-              rtol: float = 1e-12, atol: float = 0.0) -> None:
+              rtol: float = 1e-12, atol: float = 0.0,
+              record_residuals: bool = True) -> None:
         if niter <= 0:
             # The reference's `for iter in range(0)` is a no-op
             # (optimizer.py:310).
@@ -454,15 +457,16 @@ class SimpleOptimizer:
                 niter=int(niter),
                 interval_update_mu=int(interval_update_mu),
                 update_h=bool(update_h), max_mu=self._max_mu)
-            run = self._plan._compiled_run(cfg)
+            run = self._plan._compiled_run(cfg, bool(record_residuals))
             x, xp, h, mu, done, count, pbuf, dbuf = run(
                 self._x, self._h, self._mu, (rtol, atol),
                 jnp.array(0, jnp.int32))
             n = int(count)
             self._x, self._h, self._mu = x, h, mu
             self._x_old = xp
-            self._primal_residual.extend(np.asarray(pbuf)[:n].tolist())
-            self._dual_residual.extend(np.asarray(dbuf)[:n].tolist())
+            if record_residuals:
+                self._primal_residual.extend(np.asarray(pbuf)[:n].tolist())
+                self._dual_residual.extend(np.asarray(dbuf)[:n].tolist())
             return
 
         # Callback path: per-iteration host loop over a niter=1 compiled

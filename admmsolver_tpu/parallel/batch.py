@@ -367,6 +367,64 @@ class BatchedSolver:
                            converged=done, primal_residual=pbuf,
                            dual_residual=dbuf)
 
+    def solve_path(self,
+                   field: Tuple[int, str],
+                   values,
+                   overrides: Optional[Dict] = None,
+                   group_size: Optional[int] = None,
+                   **kw) -> BatchResult:
+        """Warm-started regularization-path continuation.
+
+        Splits ``values`` (e.g. a descending λ grid) into groups of
+        ``group_size``; each group solves as one batch, warm-started from
+        the previous group's solutions (nearest value's state).  For dense
+        paths this cuts iteration counts several-fold versus cold starts
+        while keeping device-parallel batches.  Returns concatenated
+        per-value results in input order.
+        """
+        values = np.asarray(values)
+        n = values.shape[0]
+        if group_size is None:
+            group_size = n
+        overrides = dict(overrides or {})
+        mu0_init = kw.pop("mu0", 1.0)
+        parts = []
+        prev = None
+        for s in range(0, n, group_size):
+            vals = values[s:s + group_size]
+            # additional overrides must be per-value (length n); sliced
+            # alongside the path values
+            ov = {k: np.asarray(v)[s:s + group_size]
+                  for k, v in overrides.items()}
+            ov[field] = vals
+            if prev is None:
+                x0 = h0 = None
+                mu0 = mu0_init
+            else:
+                # warm start every lane from the previous group's last
+                # (nearest) solution
+                take = lambda t: tuple(
+                    jnp.broadcast_to(a[-1], (vals.shape[0],) + a.shape[1:])
+                    for a in t)
+                x0, h0 = take(prev.x), take(prev.h)
+                mu0 = jnp.broadcast_to(prev.mu[-1],
+                                       (vals.shape[0],) + prev.mu.shape[1:])
+            prev = self.solve(ov, x0=x0, h0=h0, mu0=mu0, **kw)
+            parts.append(prev)
+        if len(parts) == 1:
+            return parts[0]
+        cat = lambda get: jnp.concatenate([get(p) for p in parts])
+        return BatchResult(
+            x=tuple(cat(lambda p, i=i: p.x[i])
+                    for i in range(len(parts[0].x))),
+            h=tuple(cat(lambda p, i=i: p.h[i])
+                    for i in range(len(parts[0].h))),
+            mu=cat(lambda p: p.mu),
+            iterations=cat(lambda p: p.iterations),
+            converged=cat(lambda p: p.converged),
+            primal_residual=cat(lambda p: p.primal_residual),
+            dual_residual=cat(lambda p: p.dual_residual))
+
     def solve_mixed(self,
                     overrides: Optional[Dict] = None,
                     niter_low: int = 2000,

@@ -6,4 +6,5 @@ from .checkpoint import (
     save_batch_result,
     load_batch_result,
 )
-from .telemetry import trace, convergence_report, check_finite_state
+from .telemetry import (trace, convergence_report, check_finite_state,
+                        debug_nans)

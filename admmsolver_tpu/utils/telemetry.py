@@ -20,7 +20,22 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["trace", "convergence_report", "check_finite_state"]
+__all__ = ["trace", "convergence_report", "check_finite_state",
+           "debug_nans"]
+
+
+@contextlib.contextmanager
+def debug_nans(enabled: bool = True):
+    """Raise at the first NaN-producing op inside the scope (test-mode NaN
+    debugging; SURVEY.md §5 'race detection / sanitizers' row)."""
+    import jax
+
+    prev = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", enabled)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)
 
 
 @contextlib.contextmanager

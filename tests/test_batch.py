@@ -232,6 +232,48 @@ def test_batched_psd_block():
         np.asarray(res.x[0]).real.reshape(B, n, n, K), xt, atol=5e-2)
 
 
+def test_solve_path_warm_started():
+    """Warm-started λ-path continuation: same solutions as cold batched
+    solves at a fraction of the iterations."""
+    rng = np.random.RandomState(21)
+    M, N = 14, 40
+    A = rng.randn(M, N)
+    xt = np.zeros(N)
+    xt[:4] = rng.randn(4)
+    y = A @ xt
+    bs = BatchedSolver(_bp_template(A, y))
+    lams = np.logspace(1, -3, 16)  # descending
+
+    cold = bs.solve({(1, "alpha"): lams}, niter=3000, rtol=1e-8)
+    path = bs.solve_path((1, "alpha"), lams, group_size=4,
+                         niter=3000, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(path.x[0]),
+                               np.asarray(cold.x[0]), atol=1e-5)
+    assert (np.asarray(path.iterations).sum()
+            < 0.7 * np.asarray(cold.iterations).sum())
+    assert path.x[0].shape == (16, N)
+
+
+def test_config_loading():
+    from admmsolver_tpu.config import ADMMConfig
+
+    c = ADMMConfig.from_dict({"niter": 5, "max_mu": 10.0})
+    assert c.niter == 5 and c.max_mu == 10.0
+    with pytest.raises(ValueError, match="unknown"):
+        ADMMConfig.from_dict({"bogus": 1})
+
+
+def test_single_instance_record_off():
+    rng = np.random.RandomState(22)
+    A = rng.randn(6, 12)
+    o = SimpleOptimizer(_bp_template(A, rng.randn(6)))
+    o.solve(50, record_residuals=False)
+    assert o._primal_residual == []
+    # state still advanced; a recording solve continues fine
+    o.solve(50)
+    assert len(o._primal_residual) > 0
+
+
 def test_record_residuals_off():
     rng = np.random.RandomState(1)
     A = rng.randn(4, 6)
