@@ -182,7 +182,15 @@ class _ShiftedQuadratic:
 
     * **spectral** — scaled-identity penalty + dense concrete Gram:
       shared eigendecomposition, per-instance shift scalar
-      (:class:`SpectralShift`).  The TPU fast path.
+      (:class:`SpectralShift`).  The TPU fast path.  When ``A`` is a wide
+      concrete dense matrix (M < N — compressed sensing, the reference's
+      headline basis-pursuit shape), the eigensystem is built from the
+      small ``A A†`` (M×M) instead of ``A†A`` (N×N): ``A†A`` has rank
+      ≤ M, so ``(alpha A†A + c I)^{-1} v = U_r [(alpha λ_r + c)^{-1} −
+      c^{-1}] (U_r† v) + v / c`` with a *thin* (N, r) eigenbasis — the
+      two per-iteration GEMMs shrink from (N,N) to (N,r), an N/r FLOP
+      cut on the MXU with bit-comparable accuracy (the null-space
+      component is handled exactly by the ``v/c`` term).
     * **cached inverse** — anything else: structure-aware Cholesky
       inverse recomputed at penalty-update boundaries (:func:`_inv_hpd`).
     """
@@ -190,6 +198,7 @@ class _ShiftedQuadratic:
     _alpha: object
     _AcA: MatrixBase
     _eig = None
+    _eig_thin = None  # (lam_r, U_r) with r = rank(A†A) < N, or False
 
     def _spectral_ok(self) -> bool:
         return (isinstance(self._AcA, DenseMatrix)
@@ -202,6 +211,32 @@ class _ShiftedQuadratic:
             self._eig = np.linalg.eigh(np.asarray(self._AcA.data))
         return self._eig
 
+    def _get_eig_thin(self):
+        """Thin eigensystem of A†A via the small Gram A A†, or False.
+
+        Available when ``A`` itself is concrete dense with fewer rows
+        than columns.  From ``A A† = W Σ² W†``: ``λ_r = σ²``,
+        ``U_r = A† W σ^{-1}`` (exactly orthonormal in exact arithmetic).
+        Numerically-null rows (σ² ≤ N·eps·σ²_max) are dropped — their
+        exact treatment is the closed-form ``v/c`` null-space term.
+        """
+        if self._eig_thin is None:
+            A_op = getattr(self, "_A", None)
+            A = (None if not isinstance(A_op, DenseMatrix)
+                 else _concrete(A_op.data))
+            if A is None or A.shape[0] >= A.shape[1]:
+                self._eig_thin = False
+            else:
+                AAc = np.asarray(A) @ np.asarray(A).conj().T
+                lam, W = np.linalg.eigh(AAc)
+                tol = AAc.shape[0] * np.finfo(lam.dtype).eps * \
+                    max(lam.max(initial=0.0), 0.0)
+                keep = lam > tol
+                lam = lam[keep]
+                U_r = (np.asarray(A).conj().T @ W[:, keep]) / np.sqrt(lam)
+                self._eig_thin = (lam, U_r)
+        return self._eig_thin
+
     def make_factors(self, mu_op: MatrixBase):
         """B = (alpha A†A + mu)^{-1}: spectral shift or explicit inverse."""
         if isinstance(mu_op, ScaledIdentityMatrix) and self._spectral_ok():
@@ -212,15 +247,29 @@ class _ShiftedQuadratic:
         if isinstance(factors, SpectralShift):
             from ..ops.linop import _match_precision
 
-            lam, U = self._get_eig()
-            lam = _match_precision(jnp.asarray(lam), rhs.dtype)
-            U = _match_precision(jnp.asarray(U), rhs.dtype)
             # Full f32 MXU precision: the TPU default is single-pass bf16
             # (~1e-3 relative), which corrupts the solve and flips
             # penalty-adaptation decisions.
             hi = jax.lax.Precision.HIGHEST
+            shift = factors.shift
+            cs = _concrete(shift)
+            thin = self._get_eig_thin()
+            # The thin form divides by the shift; a (concrete) zero shift
+            # must take the full-basis form instead.
+            if thin is not False and not (cs is not None and
+                                          np.all(np.asarray(cs) == 0)):
+                lam, U_r = thin
+                lam = _match_precision(jnp.asarray(lam), rhs.dtype)
+                U_r = _match_precision(jnp.asarray(U_r), rhs.dtype)
+                w = jnp.matmul(U_r.conj().T, rhs, precision=hi)
+                coef = 1.0 / (self._alpha * lam + shift) - 1.0 / shift
+                w = w * (coef if w.ndim == 1 else coef[:, None])
+                return jnp.matmul(U_r, w, precision=hi) + rhs / shift
+            lam, U = self._get_eig()
+            lam = _match_precision(jnp.asarray(lam), rhs.dtype)
+            U = _match_precision(jnp.asarray(U), rhs.dtype)
             w = jnp.matmul(U.conj().T, rhs, precision=hi)
-            denom = self._alpha * lam + factors.shift
+            denom = self._alpha * lam + shift
             w = w / (denom if w.ndim == 1 else denom[:, None])
             return jnp.matmul(U, w, precision=hi)
         return factors @ rhs

@@ -235,3 +235,76 @@ def test_objective_call_values():
     assert np.isclose(l2(x), 3.0 * np.linalg.norm(A @ x) ** 2)
     assert NonNegativePenalty(3)(x) == 0.0
     assert SemiPositiveDefinitePenalty((1, 1, 3), 2)(x) == 0.0
+
+
+def test_thin_spectral_solve_wide_A():
+    """Wide A (M<N): the rank-M thin-spectral path must match the dense
+    inverse oracle (alpha A^T A + c I)^{-1} v to near machine precision."""
+    rng = np.random.RandomState(11)
+    M, N = 12, 31
+    A = rng.randn(M, N)
+    y = rng.randn(M)
+    alpha = 1.7
+    ls = LeastSquares(alpha, A, y)
+    thin = ls._get_eig_thin()
+    assert thin is not False
+    lam, U_r = thin
+    assert U_r.shape == (N, M) and lam.shape == (M,)
+
+    for c in (0.3, 1.0, 4.5):
+        fac = ls.make_factors(ScaledIdentityMatrix(N, c))
+        v = rng.randn(N)
+        got = np.asarray(ls._apply_B(fac, jnp.asarray(v)))
+        want = np.linalg.solve(alpha * A.T @ A + c * np.eye(N), v)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
+        # matrix RHS branch (used by ConstrainedLeastSquares factoring)
+        V = rng.randn(N, 3)
+        gotm = np.asarray(ls._apply_B(fac, jnp.asarray(V)))
+        wantm = np.linalg.solve(alpha * A.T @ A + c * np.eye(N), V)
+        np.testing.assert_allclose(gotm, wantm, rtol=0, atol=1e-11)
+
+
+def test_thin_spectral_complex_and_tall():
+    rng = np.random.RandomState(5)
+    # complex wide A
+    M, N = 6, 15
+    A = _randn_cmplx(rng, M, N)
+    ls = LeastSquares(0.9, A, _randn_cmplx(rng, M))
+    fac = ls.make_factors(ScaledIdentityMatrix(N, 2.0))
+    v = _randn_cmplx(rng, N)
+    got = np.asarray(ls._apply_B(fac, jnp.asarray(v)))
+    want = np.linalg.solve(0.9 * A.conj().T @ A + 2.0 * np.eye(N), v)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
+    # tall A: thin path unavailable, full path still exact
+    At = rng.randn(N, M)
+    ls2 = LeastSquares(1.0, At, rng.randn(N))
+    assert ls2._get_eig_thin() is False
+    fac2 = ls2.make_factors(ScaledIdentityMatrix(M, 0.7))
+    v2 = rng.randn(M)
+    got2 = np.asarray(ls2._apply_B(fac2, jnp.asarray(v2)))
+    want2 = np.linalg.solve(At.T @ At + 0.7 * np.eye(M), v2)
+    np.testing.assert_allclose(got2, want2, rtol=0, atol=1e-11)
+
+
+def test_thin_spectral_zero_shift_falls_back():
+    """A concrete zero shift cannot use the thin form (divides by c); the
+    full-basis spectral solve must be used and stay finite for a
+    full-column-rank Gram."""
+    rng = np.random.RandomState(2)
+    N = 8
+    A = rng.randn(N + 4, N)  # tall: full rank, thin off anyway
+    ls = LeastSquares(1.0, A, rng.randn(N + 4))
+    fac = ls.make_factors(ScaledIdentityMatrix(N, 0.0))
+    v = rng.randn(N)
+    got = np.asarray(ls._apply_B(fac, jnp.asarray(v)))
+    np.testing.assert_allclose(got, np.linalg.solve(A.T @ A, v), atol=1e-10)
+    # wide A + explicit zero shift: must NOT take the thin branch (would
+    # produce inf); full branch applies the (singular) pseudo-denominator
+    Aw = rng.randn(4, N)
+    lsw = LeastSquares(1.0, Aw, rng.randn(4))
+    facw = lsw.make_factors(ScaledIdentityMatrix(N, 0.0))
+    out = np.asarray(lsw._apply_B(facw, jnp.asarray(v)))
+    # full branch with zero eigenvalues yields non-finite entries instead
+    # of silently-wrong values (the reference's np.linalg.inv of a
+    # singular matrix likewise degenerates, objectivefunc.py:94)
+    assert out.shape == (N,)
