@@ -34,6 +34,7 @@ from .models.objectivefunc import (
     SemiPositiveDefinitePenalty,
 )
 from .models.problem import EqualityCondition, Model, Problem
+from .models.realify import RealifiedModel, realify_model
 from .optimizer import SimpleOptimizer
 from .config import ADMMConfig
 

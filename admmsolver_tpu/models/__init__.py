@@ -8,3 +8,10 @@ from .objectivefunc import (
     SemiPositiveDefinitePenalty,
 )
 from .problem import EqualityCondition, Model, Problem
+from .realify import (
+    RealifiedModel,
+    RealPartProx,
+    realify_matrix,
+    realify_model,
+    realify_objective,
+)

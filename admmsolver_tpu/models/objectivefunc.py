@@ -200,16 +200,50 @@ class _ShiftedQuadratic:
     _eig = None
     _eig_thin = None  # (lam_r, U_r) with r = rank(A†A) < N, or False
 
+    def _spectral_inner(self):
+        """(dense concrete Gram, kron_rest) if the spectral path applies.
+
+        ``A†A`` may be plain dense, or ``G ⊗ I_rest`` (a
+        :class:`PartialDiagonalMatrix` — e.g. the real embedding of a
+        complex problem, :mod:`admmsolver_tpu.models.realify`): the
+        eigensystem of the small factor G diagonalizes the full Gram
+        blockwise, so the solve stays two small GEMMs with ``rest``
+        fused right-hand-side columns.
+        """
+        if isinstance(self._AcA, DenseMatrix):
+            d = _concrete(self._AcA.data)
+            if d is not None:
+                return d, 1
+        if isinstance(self._AcA, PartialDiagonalMatrix) and \
+                isinstance(self._AcA.matrix, DenseMatrix):
+            d = _concrete(self._AcA.matrix.data)
+            if d is not None:
+                return d, self._AcA._rest
+        return None
+
     def _spectral_ok(self) -> bool:
-        return (isinstance(self._AcA, DenseMatrix)
-                and _concrete(self._AcA.data) is not None)
+        return self._spectral_inner() is not None
 
     def _get_eig(self):
         # Cache NUMPY arrays: jnp arrays materialized inside a jit trace
         # would leak as tracers into later traces.
         if self._eig is None:
-            self._eig = np.linalg.eigh(np.asarray(self._AcA.data))
+            gram, _ = self._spectral_inner()
+            self._eig = np.linalg.eigh(np.asarray(gram))
         return self._eig
+
+    def _thin_A(self):
+        """Concrete dense wide factor Ad with A†A = (Ad†Ad) ⊗ I_rest, or
+        None."""
+        A_op = getattr(self, "_A", None)
+        if isinstance(A_op, PartialDiagonalMatrix):
+            A_op = A_op.matrix
+        if not isinstance(A_op, DenseMatrix):
+            return None
+        A = _concrete(A_op.data)
+        if A is None or A.shape[0] >= A.shape[1]:
+            return None
+        return A
 
     def _get_eig_thin(self):
         """Thin eigensystem of A†A via the small Gram A A†, or False.
@@ -221,10 +255,8 @@ class _ShiftedQuadratic:
         exact treatment is the closed-form ``v/c`` null-space term.
         """
         if self._eig_thin is None:
-            A_op = getattr(self, "_A", None)
-            A = (None if not isinstance(A_op, DenseMatrix)
-                 else _concrete(A_op.data))
-            if A is None or A.shape[0] >= A.shape[1]:
+            A = self._thin_A()
+            if A is None:
                 self._eig_thin = False
             else:
                 AAc = np.asarray(A) @ np.asarray(A).conj().T
@@ -253,6 +285,10 @@ class _ShiftedQuadratic:
             hi = jax.lax.Precision.HIGHEST
             shift = factors.shift
             cs = _concrete(shift)
+            _, rest = self._spectral_inner()
+            # Kronecker Gram (G ⊗ I_rest): fold the rest axis into RHS
+            # columns; the eigenbasis of G applies blockwise.
+            r2 = rhs if rest == 1 else rhs.reshape(rhs.shape[0] // rest, -1)
             thin = self._get_eig_thin()
             # The thin form divides by the shift; a (concrete) zero shift
             # must take the full-basis form instead.
@@ -261,17 +297,18 @@ class _ShiftedQuadratic:
                 lam, U_r = thin
                 lam = _match_precision(jnp.asarray(lam), rhs.dtype)
                 U_r = _match_precision(jnp.asarray(U_r), rhs.dtype)
-                w = jnp.matmul(U_r.conj().T, rhs, precision=hi)
+                w = jnp.matmul(U_r.conj().T, r2, precision=hi)
                 coef = 1.0 / (self._alpha * lam + shift) - 1.0 / shift
                 w = w * (coef if w.ndim == 1 else coef[:, None])
-                return jnp.matmul(U_r, w, precision=hi) + rhs / shift
+                out = jnp.matmul(U_r, w, precision=hi) + r2 / shift
+                return out.reshape(rhs.shape)
             lam, U = self._get_eig()
             lam = _match_precision(jnp.asarray(lam), rhs.dtype)
             U = _match_precision(jnp.asarray(U), rhs.dtype)
-            w = jnp.matmul(U.conj().T, rhs, precision=hi)
+            w = jnp.matmul(U.conj().T, r2, precision=hi)
             denom = self._alpha * lam + shift
             w = w / (denom if w.ndim == 1 else denom[:, None])
-            return jnp.matmul(U, w, precision=hi)
+            return jnp.matmul(U, w, precision=hi).reshape(rhs.shape)
         return factors @ rhs
 
 
