@@ -41,7 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_two_block_chunk"]
 
 
-def _iteration_body(U, Ut, dinv, acy, mu, thr, prox: str, carry):
+def _iteration_body(U, Ut, dinv, acy, mu, thr, prox: str, thin: bool,
+                    carry):
     x0, x1, h, _ = carry
     v = acy + h + mu * x1
     # Precision.HIGHEST: TPU f32 dots default to 1-pass bf16 (~1e-3
@@ -52,6 +53,13 @@ def _iteration_body(U, Ut, dinv, acy, mu, thr, prox: str, carry):
     w = w * dinv
     x0_new = jnp.dot(w, Ut, preferred_element_type=jnp.float32,
                      precision=hi)
+    if thin:
+        # Thin-spectral form (engine's `_get_eig_thin` path): U holds the
+        # r = rank(A†A) eigenvectors of the data range, dinv holds
+        # 1/(alpha*lam + mu) - 1/mu, and the null-space response is the
+        # closed-form v/mu term.  Same algebra as the XLA engine, so the
+        # oracle tests stay bit-for-bit comparable in f32.
+        x0_new = x0_new + v / mu
     z = x0_new - h / mu
     if prox == "l1":
         x1_new = jnp.sign(z) * jnp.maximum(jnp.abs(z) - thr, 0.0)
@@ -66,7 +74,7 @@ def _iteration_body(U, Ut, dinv, acy, mu, thr, prox: str, carry):
 def _chunk_kernel(U_ref, Ut_ref, dinv_ref, acy_ref, mu_ref, thr_ref,
                   x0_ref, x1_ref, h_ref,
                   x0o_ref, x1o_ref, ho_ref, x0p_ref,
-                  *, n_iters: int, prox: str):
+                  *, n_iters: int, prox: str, thin: bool):
     U = U_ref[:]
     Ut = Ut_ref[:]
     dinv = dinv_ref[:]
@@ -77,7 +85,8 @@ def _chunk_kernel(U_ref, Ut_ref, dinv_ref, acy_ref, mu_ref, thr_ref,
     carry = (x0_ref[:], x1_ref[:], h_ref[:], x0_ref[:])
     carry = jax.lax.fori_loop(
         0, n_iters,
-        lambda t, c: _iteration_body(U, Ut, dinv, acy, mu, thr, prox, c),
+        lambda t, c: _iteration_body(U, Ut, dinv, acy, mu, thr, prox,
+                                     thin, c),
         carry)
     x0, x1, h, x0_prev = carry
     x0o_ref[:] = x0
@@ -88,30 +97,39 @@ def _chunk_kernel(U_ref, Ut_ref, dinv_ref, acy_ref, mu_ref, thr_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_iters", "prox", "tile_b", "interpret"))
+    static_argnames=("n_iters", "prox", "tile_b", "interpret", "thin"))
 def fused_two_block_chunk(U, Ut, dinv, acy, mu, thr, x0, x1, h,
                           n_iters: int, prox: str = "l1",
                           tile_b: int = 128,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          thin: bool = False):
     """Run ``n_iters`` fused ADMM iterations on a batch of 2-block
     problems.
 
-    Shapes: ``U``/``Ut`` (N, N) shared f32; ``dinv`` = 1/(alpha·lam + mu)
-    (B, N); ``acy`` = alpha·A†y (B, N); ``mu``/``thr`` (B, 1); state
+    Shapes: ``U`` (N, R) / ``Ut`` (R, N) shared f32 eigenbasis — the full
+    basis (R = N, ``thin=False``, ``dinv`` = 1/(alpha·lam + mu)) or the
+    thin rank-R basis of a wide data matrix (``thin=True``, ``dinv`` =
+    1/(alpha·lam + mu) − 1/mu (B, R), null-space handled in closed form);
+    ``acy`` = alpha·A†y (B, N); ``mu``/``thr`` (B, 1); state
     ``x0``/``x1``/``h`` (B, N).  Returns (x0, x1, h, x0_prev) where
     ``x0_prev`` is the penultimate iterate (for the dual residual).
-    ``B`` must be a multiple of ``tile_b``; N a multiple of 128.
+    ``B`` must be a multiple of ``tile_b``; N and R multiples of 128.
     """
     B, N = x0.shape
+    R = U.shape[1]
     assert B % tile_b == 0, (B, tile_b)
-    assert N % 128 == 0 or interpret, \
-        f"N={N} must be a multiple of 128 for the compiled TPU kernel"
+    assert (N % 128 == 0 and R % 128 == 0) or interpret, \
+        f"N={N}, R={R} must be multiples of 128 for the compiled TPU kernel"
     grid = (B // tile_b,)
 
-    shared = pl.BlockSpec((N, N), lambda i: (0, 0),
-                          memory_space=pltpu.VMEM)
+    basis = pl.BlockSpec((N, R), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    basis_t = pl.BlockSpec((R, N), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
     lane_mat = pl.BlockSpec((tile_b, N), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((tile_b, R), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
     lane_scalar = pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
 
@@ -121,19 +139,20 @@ def fused_two_block_chunk(U, Ut, dinv, acy, mu, thr, x0, x1, h,
         jax.ShapeDtypeStruct((B, N), jnp.float32),  # h
         jax.ShapeDtypeStruct((B, N), jnp.float32),  # x0_prev
     ]
-    kernel = functools.partial(_chunk_kernel, n_iters=n_iters, prox=prox)
-    flops_per_iter = 2 * 2 * tile_b * N * N + 8 * tile_b * N
+    kernel = functools.partial(_chunk_kernel, n_iters=n_iters, prox=prox,
+                               thin=thin)
+    flops_per_iter = 2 * 2 * tile_b * N * R + 8 * tile_b * N
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[shared, shared, lane_mat, lane_mat,
+        in_specs=[basis, basis_t, lane_spec, lane_mat,
                   lane_scalar, lane_scalar,
                   lane_mat, lane_mat, lane_mat],
         out_specs=[lane_mat, lane_mat, lane_mat, lane_mat],
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=n_iters * flops_per_iter * grid[0],
-            bytes_accessed=(2 * N * N + 7 * B * N) * 4,
+            bytes_accessed=(2 * N * R + 7 * B * N) * 4,
             transcendentals=0),
         interpret=interpret,
     )(U, Ut, dinv, acy, mu, thr, x0, x1, h)

@@ -80,11 +80,37 @@ class FusedTwoBlockSolver:
             interpret = jax.default_backend() != "tpu"
         self.interpret = bool(interpret)
 
-        lam, U = f0._get_eig()
-        self.lam = jnp.asarray(np.asarray(lam), dtype=jnp.float32)
-        self.U = jnp.asarray(np.asarray(U), dtype=jnp.float32)
-        self.Ut = jnp.asarray(np.asarray(U).T.copy(), dtype=jnp.float32)
-        self.N = self.U.shape[0]
+        thin = f0._get_eig_thin()
+        if thin is not False:
+            # Thin rank-R basis of a wide data matrix — the engine's
+            # `_get_eig_thin` path.  Same algebra as BatchedSolver's
+            # solve, and the per-iteration matmuls shrink from (B,N)x(N,N)
+            # to (B,N)x(N,R): for basis pursuit (M=100, N=1000) that is
+            # ~8x fewer MXU FLOPs.  R is zero-padded to the 128 lane
+            # width; padded eigenvalues are 0 so their thin coefficient
+            # 1/(a*0+mu)-1/mu vanishes identically.
+            lam, U = thin
+        else:
+            lam, U = f0._get_eig()
+        lam = np.asarray(lam)
+        U = np.asarray(U)
+        if np.iscomplexobj(U):
+            if np.abs(U.imag).max() > 0:
+                raise ValueError(
+                    "fused path is real-f32 only; wrap complex models with "
+                    "admmsolver_tpu.realify_model first")
+            U = U.real
+        self.thin = thin is not False
+        self.N = U.shape[0]
+        if self.thin and not self.interpret and U.shape[1] % 128 != 0:
+            R = ((U.shape[1] + 127) // 128) * 128
+            U = np.concatenate(
+                [U, np.zeros((self.N, R - U.shape[1]), U.dtype)], axis=1)
+            lam = np.concatenate([lam, np.zeros(R - lam.shape[0],
+                                                lam.dtype)])
+        self.lam = jnp.asarray(lam, dtype=jnp.float32)
+        self.U = jnp.asarray(U, dtype=jnp.float32)
+        self.Ut = jnp.asarray(U.T.copy(), dtype=jnp.float32)
         assert self.N % 128 == 0 or self.interpret, (
             f"N={self.N} must be a multiple of 128 on TPU; pad the problem "
             "or use BatchedSolver")
@@ -95,12 +121,15 @@ class FusedTwoBlockSolver:
         penalty update (cached per chunk length)."""
         lam, U, Ut = self.lam, self.U, self.Ut
         prox, tile_b, interpret = self.prox, self.tile_b, self.interpret
+        thin = self.thin
 
         def step(state, acy, alpha_ls, alpha1, tols, knobs, do_mu):
             x0, x1, h, mu, done, count = state
             rtol, atol = tols
             fact_incr, th_change, max_mu = knobs
             dinv = 1.0 / (alpha_ls[:, None] * lam[None, :] + mu)
+            if thin:
+                dinv = dinv - 1.0 / mu
             if prox == "l1":
                 thr = 0.5 * alpha1[:, None] / mu
             else:
@@ -108,7 +137,7 @@ class FusedTwoBlockSolver:
             x0n, x1n, hn, x0p = fused_two_block_chunk(
                 U, Ut, dinv, acy, mu, thr, x0, x1, h,
                 n_iters=n_iters, prox=prox, tile_b=tile_b,
-                interpret=interpret)
+                interpret=interpret, thin=thin)
             active = jnp.logical_not(done)
             am = active[:, None]
             x0n = jnp.where(am, x0n, x0)
