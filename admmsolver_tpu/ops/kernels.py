@@ -61,12 +61,18 @@ def _iteration_body(U, Ut, dinv, acy, mu, thr, prox: str, thin: bool,
         # oracle tests stay bit-for-bit comparable in f32.
         x0_new = x0_new + v / mu
     z = x0_new - h / mu
-    if prox == "l1":
+    if prox in ("l1", "l1_even"):
         x1_new = jnp.sign(z) * jnp.maximum(jnp.abs(z) - thr, 0.0)
-    elif prox == "nonneg":
+    elif prox in ("nonneg", "nonneg_even"):
         x1_new = jnp.maximum(z, 0.0)
     else:  # pragma: no cover - guarded at the caller
         raise ValueError(prox)
+    if prox.endswith("_even"):
+        # Realified complex model (models.realify.RealPartProx): the
+        # separable prox acts on the Re (even) interleaved lanes and the
+        # minimizer's Im lanes are zero.
+        lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+        x1_new = jnp.where(lane % 2 == 0, x1_new, 0.0)
     h_new = h + mu * (x1_new - x0_new)
     return (x0_new, x1_new, h_new, x0)
 

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..models.objectivefunc import (L1Regularizer, NonNegativePenalty,
                                     _ShiftedQuadratic)
+from ..models.realify import RealPartProx
 from ..models.problem import Model
 from ..ops.kernels import fused_two_block_chunk
 from ..ops.linop import ScaledIdentityMatrix
@@ -66,13 +67,21 @@ class FusedTwoBlockSolver:
         if not (isinstance(f0, _ShiftedQuadratic) and f0._spectral_ok()):
             raise ValueError(
                 "block 0 must be a dense-Gram quadratic (LeastSquares/L2)")
-        if isinstance(f1, L1Regularizer):
-            self.prox = "l1"
-        elif isinstance(f1, NonNegativePenalty):
-            self.prox = "nonneg"
+        # Realified complex models (models.realify) wrap the separable
+        # block in RealPartProx — same elementwise prox on the Re lanes,
+        # zeros on the Im lanes (the `_even` kernel modes).
+        f1_inner, suffix = f1, ""
+        if isinstance(f1, RealPartProx):
+            f1_inner, suffix = f1._inner, "_even"
+        if isinstance(f1_inner, L1Regularizer):
+            self.prox = "l1" + suffix
+        elif isinstance(f1_inner, NonNegativePenalty):
+            self.prox = "nonneg" + suffix
         else:
             raise ValueError(
-                f"block 1 must be L1 or NonNegative, got {type(f1).__name__}")
+                "block 1 must be L1 or NonNegative (optionally realified), "
+                f"got {type(f1_inner).__name__}")
+        self._f1_inner = f1_inner
         self.model = model
         self.f0 = f0
         self.tile_b = int(tile_b)
@@ -130,7 +139,7 @@ class FusedTwoBlockSolver:
             dinv = 1.0 / (alpha_ls[:, None] * lam[None, :] + mu)
             if thin:
                 dinv = dinv - 1.0 / mu
-            if prox == "l1":
+            if prox.startswith("l1"):
                 thr = 0.5 * alpha1[:, None] / mu
             else:
                 thr = jnp.zeros_like(mu)
@@ -220,7 +229,7 @@ class FusedTwoBlockSolver:
             acy = jnp.broadcast_to(acy1, (Bp, self.N))
         alpha_ls = batch_of((0, "alpha"), float(f0._alpha), ())
         acy = acy * alpha_ls[:, None]
-        a1_default = getattr(self.model.functions[1], "_alpha", 0.0)
+        a1_default = getattr(self._f1_inner, "_alpha", 0.0)
         alpha1 = batch_of((1, "alpha"), float(a1_default or 0.0), ())
 
         z = lambda: jnp.zeros((Bp, self.N), dtype=jnp.float32)

@@ -120,3 +120,56 @@ def test_fused_atol_early_exit():
     rf = fs.solve({(0, "y"): ys}, niter=5001, atol=1e-3)
     assert np.asarray(rf.converged).all()
     assert np.asarray(rf.iterations).max() < 5001
+
+
+def test_fused_realified_complex():
+    """Complex basis pursuit through the fused kernel: realify the model
+    (models.realify), solve the real embedding with the `_even` prox
+    modes, decode — must land at the complex f64 engine's fixed point."""
+    from admmsolver_tpu import realify_model
+    from admmsolver_tpu.models.realify import decode, encode
+    from admmsolver_tpu import SimpleOptimizer
+
+    rng = np.random.RandomState(11)
+    M, N, B = 24, 64, 4
+    A = rng.randn(M, N) + 1j * rng.randn(M, N)
+    # real sparse signal: the reference's L1 prox projects its argument
+    # to the real part (objectivefunc.py:193-194), so the minimizer's
+    # sparse block is real-valued — only real signals are recoverable.
+    xt = np.zeros((B, N))
+    for b in range(B):
+        xt[b, rng.choice(N, 4, replace=False)] = rng.randn(4)
+    ys = xt @ A.T  # complex data
+
+    model = _bp(A, ys[0], alpha=0.05)
+    re = realify_model(model)
+    fs = FusedTwoBlockSolver(re.model, tile_b=4)
+    assert fs.prox == "l1_even"
+    assert fs.thin  # embedded wide A keeps the thin-spectral kernel
+    ys_enc = np.stack([np.asarray(encode(y)) for y in ys])
+
+    # strict short-horizon parity vs the f32 engine on the same
+    # realified model (the oracle)
+    rf = fs.solve({(0, "y"): ys_enc}, niter=21)
+    rb = BatchedSolver(re.model).solve({(0, "y"): ys_enc}, niter=21,
+                                       dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(rf.x0), np.asarray(rb.x[0]),
+                               atol=5e-4)
+
+    # long horizon: same neighborhood as the f32 engine on the realified
+    # model (some lanes converge slowly in f32 — at 1501 iterations the
+    # f32 engine itself can sit ~1e-1 from the f64 fixed point, so the
+    # f64 complex engine is not the right long-horizon oracle here; the
+    # f64-realified == complex-trajectory identity is covered at 1e-12
+    # by tests/test_realify.py)
+    rf = fs.solve({(0, "y"): ys_enc}, niter=1501, rtol=1e-7)
+    rb = BatchedSolver(re.model).solve({(0, "y"): ys_enc}, niter=1501,
+                                       rtol=1e-7, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(rf.x0), np.asarray(rb.x[0]),
+                               atol=1e-2)
+    # Im lanes of the separable block are exactly zero
+    assert np.all(np.asarray(rf.x1)[:, 1::2] == 0)
+    # decoded solutions recover the planted complex signal
+    for b in range(B):
+        got = np.asarray(decode(rf.x0[b]))
+        assert np.abs(got - xt[b]).max() <= 5e-2 * np.abs(xt[b]).max()
