@@ -1,0 +1,77 @@
+"""North-star demonstration (BASELINE.json): >= 10,000 batched ADMM
+instances converged to 1e-10 residual on basis pursuit, one chip.
+
+Solves B=10240 independent 256x512 basis-pursuit instances in one
+compiled graph with per-lane early exit at an absolute primal+dual
+residual of 1e-10 (float64), and reports wall time, convergence fraction
+and iteration statistics as one JSON line.
+
+The multi-chip side of the north star (linear scaling over a pod slice)
+is exercised structurally by ``__graft_entry__.dryrun_multichip`` and
+``tests/test_sharding.py`` (instance-axis sharding + collective
+convergence reduction); only one physical chip is reachable from this
+host.  ``--cpu`` forces the CPU backend (small default batch).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    if "--cpu" in sys.argv[1:]:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from admmsolver_tpu.models.applications import basis_pursuit_model
+    from admmsolver_tpu.parallel import BatchedSolver
+
+    B = 1024 if "--cpu" in sys.argv[1:] else 10240
+    M, N, K = 256, 512, 20
+    tol, niter = 1e-10, 20000
+
+    rng = np.random.RandomState(0)
+    A = rng.randn(M, N)
+    xt = np.zeros((B, N))
+    for b in range(B):
+        xt[b, rng.choice(N, K, replace=False)] = rng.randn(K)
+    ys = xt @ A.T
+
+    bs = BatchedSolver(basis_pursuit_model(A, ys[0]), dtype=jnp.float64)
+    ov = {(0, "y"): jnp.asarray(ys)}
+    kw = dict(niter=niter, rtol=0.0, atol=tol, record_residuals=False)
+
+    # warm the jit cache with the identical call shape (tiny horizon)
+    warm = bs.solve(ov, **{**kw, "niter": 1})
+    jax.block_until_ready(warm.x)
+
+    t0 = time.perf_counter()
+    res = bs.solve(ov, **kw)
+    jax.block_until_ready(res.x)
+    dt = time.perf_counter() - t0
+
+    iters = np.asarray(res.iterations)
+    conv = np.asarray(res.converged)
+    err = float(np.max(np.abs(np.asarray(res.x[0]) - xt)))
+    print(json.dumps({
+        "metric": f"time for {B} basis-pursuit instances to {tol:g} "
+                  "absolute primal+dual residual (float64, 1 chip)",
+        "backend": jax.default_backend(),
+        "seconds": round(dt, 2),
+        "converged_fraction": round(float(conv.mean()), 4),
+        "iterations_median": int(np.median(iters)),
+        "iterations_max": int(iters.max()),
+        "instances_per_minute": round(B * conv.mean() / (dt / 60.0), 1),
+        "max_err_vs_truth": err,
+    }))
+
+
+if __name__ == "__main__":
+    main()
