@@ -99,6 +99,26 @@ def _real_if_complex(h):
     return h.real if jnp.iscomplexobj(h) else h
 
 
+def _matvec_vpu(M, v):
+    """Dense matvec as a broadcast multiply + lane reduction.
+
+    The engine applies *per-lane* factor matrices under ``vmap``; XLA
+    lowers a vmapped ``M @ v`` to a batched tiny GEMV via ``dot_general``,
+    which on TPU in emulated f64 costs ~17.5 ms/iteration at
+    (4096, 30, 30) — the mul+reduce formulation of the same contraction
+    runs on the VPU at ~0.14 ms (125x; BENCH_NOTES.md).  Shapes: ``M``
+    ``(..., m, n)`` (or :class:`DenseMatrix`), ``v`` ``(..., n)`` →
+    ``(..., m)``.
+    """
+    from ..ops.linop import _match_precision
+
+    if isinstance(M, MatrixBase) and not isinstance(M, DenseMatrix):
+        return M @ v  # structured operators have cheap matvecs already
+    d = M.data if isinstance(M, DenseMatrix) else jnp.asarray(M)
+    d = _match_precision(d, v.dtype)
+    return jnp.sum(d * v[..., None, :], axis=-1)
+
+
 def _mu_diagonal(mu: MatrixBase):
     """Effective diagonal of a penalty operator.
 
@@ -309,6 +329,23 @@ class _ShiftedQuadratic:
             denom = self._alpha * lam + shift
             w = w / (denom if w.ndim == 1 else denom[:, None])
             return jnp.matmul(U, w, precision=hi).reshape(rhs.shape)
+        if rhs.ndim == 1:
+            # Per-lane dense/Kronecker factor application: VPU mul+reduce
+            # (vmapped dot_general is pathological in f64 — see
+            # _matvec_vpu).  2-D rhs occurs only at factor time (xi2
+            # precompute), where the plain dot is fine.
+            if isinstance(factors, DenseMatrix):
+                return _matvec_vpu(factors, rhs)
+            if isinstance(factors, PartialDiagonalMatrix) and \
+                    isinstance(factors.matrix, DenseMatrix):
+                from ..ops.linop import _match_precision
+
+                d = _match_precision(factors.matrix.data, rhs.dtype)
+                m = d.shape[-1]
+                r2 = rhs.reshape(rhs.shape[:-1] + (m, rhs.shape[-1] // m))
+                out = jnp.sum(d[..., :, :, None] * r2[..., None, :, :],
+                              axis=-2)
+                return out.reshape(rhs.shape)
         return factors @ rhs
 
 
@@ -432,8 +469,11 @@ class ConstrainedLeastSquares(LeastSquares):
     def prox_with_factors(self, factors, h):
         B, xi2, Sinv = factors
         xi1 = self._apply_B(B, self._alpha * self._Acy - h)
-        nu = Sinv @ (self._D - (self._C @ xi1))
-        return xi1 + (xi2 @ nu)
+        # Small per-lane matvecs (C xi1 is (Nc,), S^{-1} is (Nc,Nc), xi2 is
+        # (Nx,Nc)) as VPU contractions — vmapped f64 dot_general on tiny
+        # batched operands is ~100x slower on TPU (see _matvec_vpu).
+        nu = _matvec_vpu(Sinv, self._D - _matvec_vpu(self._C, xi1))
+        return xi1 + _matvec_vpu(xi2, nu)
 
 
 class L1Regularizer(ObjectiveFunctionBase):
