@@ -39,6 +39,7 @@ from ..ops.linop import (
     _concrete,
     add,
     asmatrixtype,
+    inv_hpd_schur,
     matmul,
     matrix_hash,
 )
@@ -87,6 +88,12 @@ def _inv_hpd(m: MatrixBase) -> MatrixBase:
     """
     if isinstance(m, DenseMatrix):
         d = m.data
+        if d.shape[-1] <= 128:
+            # Unrolled Schur-block inverse: XLA's batched Cholesky lowers
+            # to a sequential dynamic-slice loop costing ~1 s per refactor
+            # at (4096, 30, 30) on TPU in ANY dtype (loop overhead, not
+            # FLOPs); the straight-line VPU recursion is ~100x cheaper.
+            return DenseMatrix(inv_hpd_schur(d))
         eye = jnp.eye(d.shape[0], dtype=d.dtype)
         c, low = jax.scipy.linalg.cho_factor(d)
         return DenseMatrix(jax.scipy.linalg.cho_solve((c, low), eye))
@@ -459,11 +466,16 @@ class ConstrainedLeastSquares(LeastSquares):
         Ch = self._C.conjugate().T
         xi2 = -self._apply_B(B, Ch.asmatrix())
         S = self._C @ xi2
-        # S = -C B C† with B PD; QR-based inverse (f64 LU is unimplemented
-        # on the TPU backend)
-        from ..ops.linop import inv_qr
+        # S = -C B C† with B PD, so -S is HPD: small constraint counts use
+        # the unrolled Schur inverse (batched QR has the same sequential-
+        # loop overhead on TPU as batched Cholesky); large ones the QR
+        # path (f64 LU is unimplemented on the TPU backend).
+        from ..ops.linop import inv_hpd_schur, inv_qr
 
-        Sinv = inv_qr(S)
+        if S.shape[-1] <= 128:
+            Sinv = -inv_hpd_schur(-S)
+        else:
+            Sinv = inv_qr(S)
         return (B, xi2, Sinv)
 
     def prox_with_factors(self, factors, h):

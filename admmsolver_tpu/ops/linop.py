@@ -104,6 +104,67 @@ def inv_qr(a):
     return jax.scipy.linalg.solve_triangular(r, q.conj().T, lower=False)
 
 
+def _mm_small(a, b):
+    """Batched small matmul as a broadcast multiply + reduction.
+
+    XLA lowers batched *small* matmuls (``(B,n,n) @ (B,n,k)``, n ≲ 64)
+    through ``dot_general``, which in emulated f64 on TPU is ~100× slower
+    than the same contraction as an elementwise product + lane reduction
+    on the VPU (BENCH_NOTES.md lesson 6).  Shapes ``(..., m, n) @
+    (..., n, k) → (..., m, k)``; broadcasting over leading dims.
+    """
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def inv_hpd_schur(d):
+    """Hermitian-positive-definite inverse, unrolled at trace time.
+
+    Recursive 2×2-block Schur-complement inversion: with ``M = [[A, B],
+    [B†, C]]`` and ``S = C − B† A⁻¹ B`` (both HPD for HPD ``M``),
+
+        M⁻¹ = [[A⁻¹ + W S⁻¹ W†,  −W S⁻¹],
+               [−S⁻¹ W†,          S⁻¹  ]],    W = A⁻¹ B.
+
+    The recursion is fully unrolled in Python — NO data-dependent control
+    flow — so unlike ``jax.scipy.linalg.cho_factor`` it compiles to
+    straight-line VPU code.  XLA's batched Cholesky on TPU lowers to a
+    sequential loop of dynamic slices + conditionals whose *overhead* (not
+    FLOPs) costs ~1 s per call at (4096, 30, 30) in any dtype; this
+    routine is ~100× cheaper and keeps full working-precision accuracy
+    (numerically equivalent to an unpivoted block LDL — fine for the HPD
+    operands the ADMM factor path produces).  Works batched or unbatched
+    (leading dims broadcast).  Intended for n ≲ 128; larger blocks should
+    use the MXU Cholesky path.
+    """
+    n = d.shape[-1]
+    if n == 1:
+        return 1.0 / d
+    if n == 2:
+        a = d[..., 0:1, 0:1]
+        b = d[..., 0:1, 1:2]
+        bh = d[..., 1:2, 0:1]
+        c = d[..., 1:2, 1:2]
+        det = a * c - b * bh
+        row0 = jnp.concatenate([c, -b], axis=-1)
+        row1 = jnp.concatenate([-bh, a], axis=-1)
+        return jnp.concatenate([row0, row1], axis=-2) / det
+    n1 = n // 2
+    A = d[..., :n1, :n1]
+    B = d[..., :n1, n1:]
+    C = d[..., n1:, n1:]
+    iA = inv_hpd_schur(A)
+    W = _mm_small(iA, B)
+    S = C - _mm_small(B.conj().swapaxes(-1, -2), W)
+    iS = inv_hpd_schur(S)
+    WiS = _mm_small(W, iS)
+    TL = iA + _mm_small(WiS, W.conj().swapaxes(-1, -2))
+    TR = -WiS
+    BL = TR.conj().swapaxes(-1, -2)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, iS], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 class MatrixBase:
     """Abstract structured operator.
 
