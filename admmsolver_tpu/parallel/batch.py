@@ -446,8 +446,10 @@ class BatchedSolver:
                         rtol=low_rtol,
                         **{k: v for k, v in kw.items()
                            if k not in ("rtol", "atol")})
+        # phase 2 continues phase 1's state; a user mu0 seeds phase 1 only
         p2 = self.solve(overrides, x0=p1.x, h0=p1.h, mu0=p1.mu,
-                        niter=niter, **kw)
+                        niter=niter,
+                        **{k: v for k, v in kw.items() if k != "mu0"})
         return BatchResult(
             x=p2.x, h=p2.h, mu=p2.mu,
             iterations=p1.iterations + p2.iterations,
