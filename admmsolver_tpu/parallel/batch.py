@@ -425,6 +425,66 @@ class BatchedSolver:
             primal_residual=cat(lambda p: p.primal_residual),
             dual_residual=cat(lambda p: p.dual_residual))
 
+    def solve_resumable(self,
+                        path: str,
+                        overrides: Optional[Dict] = None,
+                        checkpoint_every: int = 1000,
+                        niter: int = 10000,
+                        mu0=1.0,
+                        **kw) -> "BatchResult":
+        """Preemption-tolerant solve: checkpoint every ``checkpoint_every``
+        iterations, resume from ``path`` if it exists.
+
+        The reference's only resume mechanism is a manual ``x0`` warm
+        start (``optimizer.py:146-149``); this drives the same warm-start
+        machinery segment-by-segment at the host level and persists the
+        full carry (primal, dual, penalties, per-lane iteration counts,
+        convergence flags) via :mod:`admmsolver_tpu.utils.checkpoint`
+        after each segment.  Killing the process at any point loses at
+        most one segment of work.
+
+        Penalty-update schedule caveat: each segment starts the
+        ``interval_update_mu`` clock afresh (exactly like a fresh solve
+        from a warm start), so pick ``checkpoint_every`` as a multiple of
+        ``interval_update_mu`` to keep the uninterrupted schedule.
+        Converged lanes freeze across segments (their relative change is
+        0, so they re-converge immediately).
+        """
+        import os
+
+        from ..utils.checkpoint import load_batch_result, save_batch_result
+
+        x0 = h0 = None
+        done_iters = 0
+        total = None
+        if os.path.exists(path):
+            ckpt = load_batch_result(path)
+            x0, h0, mu0 = ckpt.x, ckpt.h, ckpt.mu
+            total = np.asarray(ckpt.iterations)
+            done_iters = int(total.max())
+        res = None
+        while done_iters < niter:
+            n = min(int(checkpoint_every), niter - done_iters)
+            res = self.solve(overrides, x0=x0, h0=h0, mu0=mu0, niter=n,
+                             **kw)
+            x0, h0, mu0 = res.x, res.h, res.mu
+            done_iters += n
+            total = (np.asarray(res.iterations) if total is None
+                     else total + np.asarray(res.iterations))
+            res = BatchResult(
+                x=res.x, h=res.h, mu=res.mu,
+                iterations=jnp.asarray(total),
+                converged=res.converged,
+                primal_residual=res.primal_residual,
+                dual_residual=res.dual_residual)
+            save_batch_result(path, res)
+            if bool(np.all(np.asarray(res.converged))):
+                break
+        if res is None:
+            # checkpoint already covered the full budget
+            res = load_batch_result(path)
+        return res
+
     def solve_mixed(self,
                     overrides: Optional[Dict] = None,
                     niter_low: int = 2000,
