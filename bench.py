@@ -92,7 +92,8 @@ def bench_reference(A, y, niter):
 
 
 def main():
-    M, N, B = 256, 512, 1024
+    # B=4096 saturates one chip (BENCH_NOTES.md batch-scaling table)
+    M, N, B = 256, 512, 4096
     niter = 200
     A, ys, xtrue = _make_problem(M, N, B)
 
