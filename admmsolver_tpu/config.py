@@ -14,13 +14,16 @@ import dataclasses
 class ADMMConfig:
     """Static knobs of the ADMM loop.
 
-    Matches reference defaults: ``niter``/``rtol``/``interval_update_mu``/
+    Matches reference defaults: ``niter``/``interval_update_mu``/
     ``update_h`` (``optimizer.py:302-309``), ``fact_incr``/``th_change``
     (``optimizer.py:277``), ``max_mu`` (``optimizer.py:125``).
+
+    ``rtol`` is deliberately NOT here: tolerances are *traced* solve()
+    arguments (changing them never recompiles), while these fields are
+    static jit arguments that shape the compiled loop.
     """
 
     niter: int = 10000
-    rtol: float = 1e-12
     interval_update_mu: int = 100
     update_h: bool = True
     fact_incr: float = 2.0
@@ -37,8 +40,14 @@ class ADMMConfig:
     @classmethod
     def from_yaml(cls, path: str) -> "ADMMConfig":
         """Load knobs from a YAML file (benchmark-harness convenience;
-        the library itself never reads files)."""
-        import yaml
+        the library itself never reads files).  Requires the ``yaml``
+        extra (``pip install admmsolver_tpu[yaml]``)."""
+        try:
+            import yaml
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "ADMMConfig.from_yaml needs pyyaml; install the yaml "
+                "extra: pip install admmsolver_tpu[yaml]") from e
 
         with open(path) as f:
             return cls.from_dict(yaml.safe_load(f) or {})

@@ -318,7 +318,12 @@ class _ShiftedQuadratic:
             r2 = rhs if rest == 1 else rhs.reshape(rhs.shape[0] // rest, -1)
             thin = self._get_eig_thin()
             # The thin form divides by the shift; a (concrete) zero shift
-            # must take the full-basis form instead.
+            # must take the full-basis form instead.  PRECONDITION for a
+            # *traced* shift: the runtime value must be > 0 — true for the
+            # engine, whose mu schedule starts at mu0 > 0 and only ever
+            # multiplies/divides by fact_incr (reference optimizer.py:
+            # 277-299 keeps mu in (0, max_mu]); a traced zero would
+            # produce inf/NaN here rather than falling back.
             if thin is not False and not (cs is not None and
                                           np.all(np.asarray(cs) == 0)):
                 lam, U_r = thin

@@ -24,7 +24,12 @@ structured: a real operator acts on interleaved coordinates as
 ``A ⊗ I_2``, i.e. a :class:`PartialDiagonalMatrix` — real dense couplings
 cost two fused RHS columns on the MXU (the exact complex-arithmetic FLOP
 count), real diagonals stay diagonal, and identity couplings stay scaled
-identities.  Only genuinely complex-valued operators densify.
+identities.  Genuinely complex *diagonal / scaled-identity* operators
+keep an O(n) structured form too
+(:class:`~admmsolver_tpu.ops.linop.InterleavedComplexDiagonalMatrix`,
+whose Hermitian Gram collapses back to a plain diagonal — so
+diagonal-penalty proxes survive complex couplings); only complex dense
+operators densify.
 
 Objectives map as:
 
@@ -42,12 +47,14 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops.linop import (
     DenseMatrix,
     DiagonalMatrix,
+    InterleavedComplexDiagonalMatrix,
     MatrixBase,
     PartialDiagonalMatrix,
     ScaledIdentityMatrix,
@@ -70,22 +77,38 @@ __all__ = ["encode", "decode", "realify_matrix", "realify_objective",
 
 
 def encode(v):
-    """Complex ``(..., n)`` → real interleaved ``(..., 2n)``."""
-    v = jnp.asarray(v)
-    rdt = np.zeros(1, dtype=v.dtype).real.dtype
-    out = jnp.stack([v.real, v.imag], axis=-1)
-    return out.reshape(v.shape[:-1] + (2 * v.shape[-1],)).astype(rdt)
+    """Complex ``(..., n)`` → real interleaved ``(..., 2n)``.
+
+    Complex-side manipulation happens HOST-SIDE in numpy whenever the
+    input is concrete: on the axon TPU backend complex arrays cannot even
+    exist on device, so ``.real``/``.imag``/``stack`` of device complex
+    values would raise ``UNIMPLEMENTED`` — the exact backend this module
+    exists to serve.  Only the already-real interleaved result is turned
+    into a device array.  Traced (necessarily complex-capable) inputs
+    keep a jnp path for completeness.
+    """
+    if isinstance(v, jax.core.Tracer):
+        rdt = np.zeros(1, dtype=v.dtype).real.dtype
+        out = jnp.stack([v.real, v.imag], axis=-1)
+        return out.reshape(v.shape[:-1] + (2 * v.shape[-1],)).astype(rdt)
+    v = np.asarray(jax.device_get(v))
+    out = np.stack([v.real, v.imag], axis=-1)
+    out = out.reshape(v.shape[:-1] + (2 * v.shape[-1],))
+    return jnp.asarray(np.ascontiguousarray(out, dtype=v.real.dtype))
 
 
 def decode(v):
-    """Real interleaved ``(..., 2n)`` → complex ``(..., n)``."""
-    v = jnp.asarray(v)
+    """Real interleaved ``(..., 2n)`` → complex ``(..., n)``.
+
+    Concrete inputs are decoded host-side in numpy (complex output cannot
+    live on a complex-less device); the result is a numpy complex array.
+    """
+    if isinstance(v, jax.core.Tracer):
+        pairs = v.reshape(v.shape[:-1] + (v.shape[-1] // 2, 2))
+        return pairs[..., 0] + 1j * pairs[..., 1]
+    v = np.asarray(jax.device_get(v))
     pairs = v.reshape(v.shape[:-1] + (v.shape[-1] // 2, 2))
-    return jax_lax_complex(pairs[..., 0], pairs[..., 1])
-
-
-def jax_lax_complex(re, im):
-    return re + 1j * im
+    return pairs[..., 0] + 1j * pairs[..., 1]
 
 
 def _embed_dense(M) -> np.ndarray:
@@ -101,13 +124,17 @@ def _embed_dense(M) -> np.ndarray:
 
 
 def _is_real(op: MatrixBase) -> bool:
-    import jax
-
     for leaf in jax.tree_util.tree_leaves(op):
-        if np.iscomplexobj(leaf) if not hasattr(leaf, "dtype") else \
-                np.issubdtype(np.asarray(leaf).dtype, np.complexfloating):
+        dt = getattr(leaf, "dtype", None)
+        is_cplx = (np.issubdtype(np.dtype(dt), np.complexfloating)
+                   if dt is not None else np.iscomplexobj(leaf))
+        if is_cplx:
             c = _concrete(leaf)
-            if c is None or np.any(np.asarray(c).imag != 0):
+            if c is None:
+                return False
+            # host-side: .imag of a device complex array would execute a
+            # complex op on a possibly complex-less backend
+            if np.any(np.asarray(jax.device_get(c)).imag != 0):
                 return False
     return True
 
@@ -119,34 +146,71 @@ def realify_matrix(op: MatrixBase) -> MatrixBase:
     """
     if _is_real(op):
         if isinstance(op, ScaledIdentityMatrix):
-            coeff = jnp.real(jnp.asarray(op.coeff))
+            coeff = op.coeff
+            if np.iscomplexobj(jax.device_get(_concrete(coeff))
+                               if _concrete(coeff) is not None else coeff):
+                # real-valued but complex-dtype: cast host-side (traced
+                # complex leaves already failed _is_real)
+                coeff = float(
+                    np.asarray(jax.device_get(_concrete(coeff))).real)
             if op.is_square():
                 return ScaledIdentityMatrix(2 * op.shape[0], coeff)
             return PartialDiagonalMatrix(
                 ScaledIdentityMatrix(op.shape, coeff).to_diagonal_matrix(),
                 (2,))
         if isinstance(op, DiagonalMatrix):
-            d = jnp.real(jnp.asarray(op.diagonals))
+            d = op.diagonals
+            if np.issubdtype(np.dtype(d.dtype), np.complexfloating):
+                d = jnp.asarray(np.asarray(
+                    jax.device_get(_concrete(d))).real.copy())
             if op.is_square():
                 return DiagonalMatrix(jnp.repeat(d, 2))
             return PartialDiagonalMatrix(DiagonalMatrix(d, op.shape), (2,))
         if isinstance(op, PartialDiagonalMatrix):
             inner = op.matrix
             if _is_real(inner):
+                inner = _as_real_matrix(inner)
                 return PartialDiagonalMatrix(inner, op.rest_dims + (2,))
         if isinstance(op, DenseMatrix):
             data = op.data
             if np.issubdtype(np.asarray(data).dtype, np.complexfloating):
-                data = jnp.real(data)
+                data = jnp.asarray(
+                    np.asarray(jax.device_get(data)).real.copy())
                 op = DenseMatrix(data)
             return PartialDiagonalMatrix(op, (2,))
         return PartialDiagonalMatrix(DenseMatrix(op.asmatrix()), (2,))
+    # Genuinely complex operators.  Diagonal structure survives the
+    # embedding exactly (2×2 rotation-scale blocks): keep it, so EcE /
+    # EcE2 products in realified models stay diagonal and the
+    # diagonal-penalty proxes remain usable (the complex reference handles
+    # this case fine — E†E is a real diagonal).
+    if isinstance(op, ScaledIdentityMatrix) and op.is_square():
+        c = complex(np.asarray(jax.device_get(_concrete(op.coeff))))
+        n = op.shape[0]
+        return InterleavedComplexDiagonalMatrix(
+            jnp.full(n, c.real), jnp.full(n, c.imag))
+    if isinstance(op, DiagonalMatrix) and op.is_square():
+        d = np.asarray(jax.device_get(_concrete(op.diagonals)))
+        return InterleavedComplexDiagonalMatrix(
+            jnp.asarray(d.real.copy()), jnp.asarray(d.imag.copy()))
     dense = _concrete(op.asmatrix())
     if dense is None:
         raise ValueError(
             "realify_matrix requires concrete operator values for complex "
             "operators (structure is resolved at trace time)")
-    return DenseMatrix(jnp.asarray(_embed_dense(dense)))
+    return DenseMatrix(jnp.asarray(_embed_dense(jax.device_get(dense))))
+
+
+def _as_real_matrix(op: MatrixBase) -> MatrixBase:
+    """Cast a real-valued (possibly complex-dtype) operator to real dtype."""
+    def fix(leaf):
+        a = np.asarray(jax.device_get(leaf))
+        if np.issubdtype(a.dtype, np.complexfloating):
+            return jnp.asarray(a.real.copy())
+        return leaf
+
+    leaves, treedef = jax.tree_util.tree_flatten(op)
+    return jax.tree_util.tree_unflatten(treedef, [fix(l) for l in leaves])
 
 
 class RealPartProx(ObjectiveFunctionBase):

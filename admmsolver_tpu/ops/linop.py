@@ -43,6 +43,7 @@ __all__ = [
     "DiagonalMatrix",
     "ScaledIdentityMatrix",
     "PartialDiagonalMatrix",
+    "InterleavedComplexDiagonalMatrix",
     "identity",
     "asmatrixtype",
     "matrix_hash",
@@ -579,6 +580,101 @@ class PartialDiagonalMatrix(MatrixBase):
         return jnp.repeat(inner, self._rest)
 
 
+@jax.tree_util.register_pytree_node_class
+class InterleavedComplexDiagonalMatrix(MatrixBase):
+    """Real interleaved embedding of a complex diagonal matrix.
+
+    ``diag(a + ib)`` acting on interleaved (Re, Im) coordinates
+    (:mod:`admmsolver_tpu.models.realify`) is the real block-diagonal
+    matrix with 2×2 blocks ``[[a, -b], [b, a]]`` per entry.  Stored as the
+    two real vectors ``re``/``im`` so complex couplings in realified models
+    keep an O(n) matvec and — crucially — a *diagonal* Gram:
+    ``R(D)† R(D) = diag(|d|²) ⊗ I₂``, which the diagonal-penalty proxes
+    (L1 / NonNegative / PSD) require.  Densifying instead (as round 1 did)
+    loses the diagonal interpretation and makes such models unsolvable —
+    the complex reference handles them fine (E†E stays diagonal,
+    ``/root/reference/src/admmsolver/matrix.py:255-295``).
+
+    The matrix is REAL: ``conjugate()`` is the identity; ``T`` maps to the
+    embedding of the conjugate diagonal (blocks transpose to
+    ``[[a, b], [-b, a]]``).
+    """
+
+    def __init__(self, re, im) -> None:
+        re = _asarray(re)
+        im = _asarray(im)
+        assert re.ndim == 1 and re.shape == im.shape, (re.shape, im.shape)
+        self.re = re
+        self.im = im
+        self.shape = (2 * re.shape[0], 2 * re.shape[0])
+
+    def tree_flatten(self):
+        return (self.re, self.im), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, shape, children):
+        obj = object.__new__(cls)
+        obj.re, obj.im = children
+        obj.shape = shape
+        return obj
+
+    def hash(self) -> int:
+        return hash((matrix_hash(np.asarray(self.re)),
+                     matrix_hash(np.asarray(self.im))))
+
+    def asmatrix(self):
+        n = self.re.shape[0]
+        out = jnp.zeros(self.shape, dtype=self.re.dtype)
+        idx = jnp.arange(n)
+        out = out.at[2 * idx, 2 * idx].set(self.re)
+        out = out.at[2 * idx + 1, 2 * idx + 1].set(self.re)
+        out = out.at[2 * idx, 2 * idx + 1].set(-self.im)
+        out = out.at[2 * idx + 1, 2 * idx].set(self.im)
+        return out
+
+    to_dense = asmatrix
+
+    def _scale(self, c) -> "InterleavedComplexDiagonalMatrix":
+        # Scalar multiply by a REAL scalar (the embedded matrix is real).
+        return InterleavedComplexDiagonalMatrix(self.re * c, self.im * c)
+
+    @property
+    def T(self) -> "InterleavedComplexDiagonalMatrix":
+        return InterleavedComplexDiagonalMatrix(self.re, -self.im)
+
+    def conjugate(self) -> "InterleavedComplexDiagonalMatrix":
+        return self  # real-valued matrix
+
+    conj = conjugate
+
+    def inv(self) -> "InterleavedComplexDiagonalMatrix":
+        mod2 = self.re * self.re + self.im * self.im
+        return InterleavedComplexDiagonalMatrix(self.re / mod2,
+                                                -self.im / mod2)
+
+    def gram(self) -> "MatrixBase":
+        mod2 = self.re * self.re + self.im * self.im
+        return DiagonalMatrix(jnp.repeat(mod2, 2))
+
+    def matvec(self, v):
+        v = _asarray(v)
+        assert v.shape[0] == self.shape[1], (self.shape, v.shape)
+        n = self.re.shape[0]
+        vr = v.reshape((n, 2) + v.shape[1:])
+        bshape = (n,) + (1,) * (v.ndim - 1)
+        a = _match_precision(self.re, v.dtype).reshape(bshape)
+        b = _match_precision(self.im, v.dtype).reshape(bshape)
+        out_re = a * vr[:, 0] - b * vr[:, 1]
+        out_im = b * vr[:, 0] + a * vr[:, 1]
+        return jnp.stack([out_re, out_im], axis=1).reshape(v.shape)
+
+    def effective_diagonal(self):
+        im = _concrete(self.im)
+        if im is not None and not np.any(np.asarray(im)):
+            return jnp.repeat(self.re, 2)
+        return None
+
+
 # =====================================================================
 # Dispatch: matmul
 # =====================================================================
@@ -600,6 +696,24 @@ def matmul(a: MatrixBase, b: MatrixBase) -> MatrixBase:
         return b._scale(a.coeff)
     if isinstance(a, ScaledIdentityMatrix):
         return matmul(a.to_diagonal_matrix(), b)
+
+    if isinstance(a, InterleavedComplexDiagonalMatrix):
+        if isinstance(b, InterleavedComplexDiagonalMatrix):
+            # Complex-diagonal product in real arithmetic.  When the
+            # product is concretely real (e.g. the Hermitian Gram
+            # R(D)† R(D) in the Model's EcE precompute) collapse to a
+            # plain diagonal so penalty structure survives; the collapse
+            # fires only on concrete values, like the other blockwise
+            # checks in this module.
+            re = a.re * b.re - a.im * b.im
+            im = a.re * b.im + a.im * b.re
+            cim = _concrete(im)
+            if cim is not None and not np.any(np.asarray(cim)):
+                return DiagonalMatrix(jnp.repeat(re, 2))
+            return InterleavedComplexDiagonalMatrix(re, im)
+        if isinstance(b, ScaledIdentityMatrix) and b.is_square():
+            return a._scale(b.coeff)
+        return DenseMatrix(a.matvec(b.asmatrix()))
 
     if isinstance(a, DenseMatrix):
         if isinstance(b, ScaledIdentityMatrix):
@@ -693,6 +807,25 @@ def add(a: MatrixBase, b: MatrixBase) -> MatrixBase:
                 if np.allclose(blocks, blocks[:, :1]):
                     inner = add(DiagonalMatrix(jnp.asarray(blocks[:, 0])), y.matrix)
                     return PartialDiagonalMatrix(inner, y.rest_dims)
+        if isinstance(x, InterleavedComplexDiagonalMatrix) and \
+                isinstance(y, InterleavedComplexDiagonalMatrix):
+            return InterleavedComplexDiagonalMatrix(x.re + y.re,
+                                                    x.im + y.im)
+        if isinstance(x, ScaledIdentityMatrix) and \
+                isinstance(y, InterleavedComplexDiagonalMatrix):
+            if x.is_square():
+                return InterleavedComplexDiagonalMatrix(
+                    y.re + _asarray(x.coeff), y.im)
+        if isinstance(x, DiagonalMatrix) and \
+                isinstance(y, InterleavedComplexDiagonalMatrix):
+            # Valid in structured form only when the diagonal is constant
+            # over each (Re, Im) pair — concrete-value check, as above.
+            cd = _concrete(x.diagonals)
+            if cd is not None and x.is_square():
+                blocks = np.asarray(cd).reshape(-1, 2)
+                if np.allclose(blocks[:, 0], blocks[:, 1]):
+                    return InterleavedComplexDiagonalMatrix(
+                        y.re + jnp.asarray(blocks[:, 0]), y.im)
         if isinstance(x, PartialDiagonalMatrix) and isinstance(y, PartialDiagonalMatrix):
             if x.rest_dims == y.rest_dims:
                 return PartialDiagonalMatrix(add(x.matrix, y.matrix), x.rest_dims)

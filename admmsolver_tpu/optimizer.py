@@ -58,6 +58,7 @@ class ADMMPlan:
 
     def __init__(self, model: Model) -> None:
         self.model = model
+        self._run_cache: Dict = {}
         self.nblocks = model.num_func
         self.pairs: List[Tuple[int, int]] = model.pairs
         self.pair_index: Dict[Tuple[int, int], int] = {
@@ -319,10 +320,25 @@ class ADMMPlan:
     # ------------------------------------------------------------------
     # Single-instance jitted driver
     # ------------------------------------------------------------------
-    @functools.lru_cache(maxsize=32)
     def _compiled_run(self, cfg: ADMMConfig, record: bool = True):
         """Jitted full solve: while_loop with early exit and lax.cond
-        refactorization at penalty boundaries."""
+        refactorization at penalty boundaries.
+
+        Cached per plan instance (NOT ``functools.lru_cache`` on the
+        method, which pins the plan and its closed-over operator arrays
+        process-wide — a leak for λ-scan drivers that build many
+        solvers)."""
+        key = (cfg, record)
+        cached = self._run_cache.get(key)
+        if cached is not None:
+            return cached
+        run = self._build_run(cfg, record)
+        if len(self._run_cache) >= 32:
+            self._run_cache.pop(next(iter(self._run_cache)))
+        self._run_cache[key] = run
+        return run
+
+    def _build_run(self, cfg: ADMMConfig, record: bool):
         hist = cfg.niter if record else 1
 
         def run(x, h, mu, tols, it_offset):
@@ -389,6 +405,8 @@ class ADMMPlan:
         """Initial primal/dual state (optimizer.py:141-160)."""
         if dtype is None:
             dtype = self.default_dtype()
+        from .backend import guard_complex
+        guard_complex(dtype, "the ADMM engine state")
         if x0 is not None:
             assert len(x0) == self.nblocks
             for k, x_ in enumerate(x0):
@@ -444,7 +462,11 @@ class SimpleOptimizer:
     def solve(self, niter: int = 10000, callback=None,
               interval_update_mu: int = 100, update_h: bool = True,
               rtol: float = 1e-12, atol: float = 0.0,
+              fact_incr: float = 2.0, th_change: float = 10.0,
               record_residuals: bool = True) -> None:
+        """``fact_incr``/``th_change`` tune the residual-balancing penalty
+        adaptation, as the reference's ``update_mu`` accepts
+        (``optimizer.py:277``)."""
         if niter <= 0:
             # The reference's `for iter in range(0)` is a no-op
             # (optimizer.py:310).
@@ -456,7 +478,8 @@ class SimpleOptimizer:
             cfg = ADMMConfig(
                 niter=int(niter),
                 interval_update_mu=int(interval_update_mu),
-                update_h=bool(update_h), max_mu=self._max_mu)
+                update_h=bool(update_h), max_mu=self._max_mu,
+                fact_incr=float(fact_incr), th_change=float(th_change))
             run = self._plan._compiled_run(cfg, bool(record_residuals))
             x, xp, h, mu, done, count, pbuf, dbuf = run(
                 self._x, self._h, self._mu, (rtol, atol),
@@ -475,7 +498,8 @@ class SimpleOptimizer:
         cfg1 = ADMMConfig(
             niter=1,
             interval_update_mu=int(interval_update_mu),
-            update_h=bool(update_h), max_mu=self._max_mu)
+            update_h=bool(update_h), max_mu=self._max_mu,
+            fact_incr=float(fact_incr), th_change=float(th_change))
         run1 = self._plan._compiled_run(cfg1)
         for it in range(int(niter)):
             x, xp, h, mu, done, count, pbuf, dbuf = run1(

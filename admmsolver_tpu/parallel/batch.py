@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -87,13 +87,17 @@ class BatchedSolver:
     """
 
     def __init__(self, model: Model, dtype=None, sharding=None) -> None:
+        from ..backend import guard_complex
+
         self.model = model
         self.plan = ADMMPlan(model)
         if dtype is None:
             # real problems get a real state (see ADMMPlan.is_complex)
             dtype = self.plan.default_dtype()
+        guard_complex(dtype, "a batched solve")
         self.dtype = jnp.dtype(dtype)
         self.sharding = sharding
+        self._compiled_cache: Dict = {}
 
     # -- parameter binding -------------------------------------------------
     def _bind(self, ov: Dict):
@@ -146,9 +150,23 @@ class BatchedSolver:
         return out
 
     # -- compiled batched run ---------------------------------------------
-    @functools.lru_cache(maxsize=32)
     def _compiled(self, cfg: ADMMConfig, ov_keys: tuple, record: bool,
-                  chunked_checks: bool = False):
+                  chunked_checks: bool = False, record_stride: int = 1):
+        # Per-instance cache (a method-level functools.lru_cache would pin
+        # the solver and its operator arrays for process lifetime).
+        key = (cfg, ov_keys, record, chunked_checks, record_stride)
+        cached = self._compiled_cache.get(key)
+        if cached is not None:
+            return cached
+        run = self._build(cfg, ov_keys, record, chunked_checks,
+                          record_stride)
+        if len(self._compiled_cache) >= 32:
+            self._compiled_cache.pop(next(iter(self._compiled_cache)))
+        self._compiled_cache[key] = run
+        return run
+
+    def _build(self, cfg: ADMMConfig, ov_keys: tuple, record: bool,
+               chunked_checks: bool, record_stride: int):
         plan = self.plan
         interval = cfg.interval_update_mu
         niter = cfg.niter
@@ -193,17 +211,27 @@ class BatchedSolver:
                 mu, self._bind(dict(zip(loop_keys, ov2)))),
             in_axes=(0, 0))
 
-        def run(ov_vals, x, h, mu, tols):
+        # Strided history: one slot per `record_stride` iterations (the
+        # last in-window value wins).  A (B, niter) f64 buffer pair at
+        # north-star scale (B=10k, niter=10k) is ~1.6 GB — strided
+        # recording keeps histories affordable at scale.
+        hist = ((niter + record_stride - 1) // record_stride
+                if record else 1)
+
+        def buf_slot(git):
+            if not record:
+                return 0
+            return jnp.minimum(git // record_stride, hist - 1)
+
+        def run(ov_vals, x, h, mu, tols, done0):
             B = mu.shape[0]
             # ov2: prologue-derived per-instance values, batched.
             ov2 = jax.vmap(prologue)(ov_vals) if ov_keys else ()
             factors = v_factors(ov2, mu)
             rdtype = jnp.zeros(()).dtype
-            hist = niter if record else 1
             pbuf = jnp.full((B, hist), jnp.nan, dtype=rdtype)
             dbuf = jnp.full((B, hist), jnp.nan, dtype=rdtype)
-            carry = (x, x, h, mu, factors,
-                     jnp.zeros(B, dtype=bool),
+            carry = (x, x, h, mu, factors, done0,
                      jnp.zeros(B, dtype=jnp.int32), pbuf, dbuf)
 
             def step(carry, buf_idx, git):
@@ -240,15 +268,12 @@ class BatchedSolver:
                     carry, _ = jax.lax.scan(
                         scan_body, carry, jnp.arange(interval - 1))
                     git = it + interval - 1
-                    buf_idx = jnp.minimum(git, niter - 1) if record else 0
-                    carry = masked(step(carry, buf_idx, git), carry,
+                    carry = masked(step(carry, buf_slot(git), git), carry,
                                    git >= niter)
                 else:
                     def scan_body(carry, i):
                         git = it + i
-                        buf_idx = (jnp.minimum(git, niter - 1)
-                                   if record else 0)
-                        new_carry = step(carry, buf_idx, git)
+                        new_carry = step(carry, buf_slot(git), git)
                         return masked(new_carry, carry, git >= niter), None
 
                     carry, _ = jax.lax.scan(
@@ -275,24 +300,42 @@ class BatchedSolver:
               update_h: bool = True,
               rtol: float = 1e-12,
               atol: float = 0.0,
+              fact_incr: float = 2.0,
+              th_change: float = 10.0,
               max_mu: float = 1e3,
-              record_residuals: bool = True,
+              record_residuals: Union[bool, int] = True,
               dtype=None,
-              chunked_checks: bool = False) -> BatchResult:
+              chunked_checks: bool = False,
+              done0=None) -> BatchResult:
         """Solve the batch.  Reference-default knobs
-        (``optimizer.py:302-309,125``); ``atol`` adds an absolute
-        primal+dual residual stop (0 = off); ``dtype`` overrides the
-        solver's state dtype for this call (mixed-precision phases);
-        ``h0`` warm-starts the duals (resume / phase hand-off);
-        ``chunked_checks=True`` evaluates residuals/convergence/penalty
-        adaptation only on penalty-boundary iterations (throughput mode —
-        histories have one sample per ``interval_update_mu`` iterations
-        and lanes may overrun their convergence point by up to one
-        interval; the default preserves exact per-iteration reference
-        semantics)."""
+        (``optimizer.py:302-309,277,125``); ``atol`` adds an absolute
+        primal+dual residual stop (0 = off); ``fact_incr``/``th_change``
+        tune the penalty adaptation as the reference's ``update_mu``
+        does; ``dtype`` overrides the solver's state dtype for this call
+        (mixed-precision phases); ``h0`` warm-starts the duals (resume /
+        phase hand-off); ``chunked_checks=True`` evaluates residuals/
+        convergence/penalty adaptation only on penalty-boundary
+        iterations (throughput mode — histories have one sample per
+        ``interval_update_mu`` iterations and lanes may overrun their
+        convergence point by up to one interval; the default preserves
+        exact per-iteration reference semantics).
+
+        ``record_residuals``: True = per-iteration histories ((B, niter)
+        f64 buffers — ~1.6 GB at B=10k, niter=10k); an int ``s`` records
+        one sample per ``s`` iterations ((B, ceil(niter/s)) buffers);
+        False = none.  ``done0``: optional (B,) bool mask of lanes to
+        freeze from the start (parked lanes in schedulers, already-
+        converged lanes on resume); frozen lanes cost no sweeps and do
+        not hold up the global convergence exit."""
         if niter <= 0:
             raise ValueError("niter must be positive for batched solves")
-        dtype = self.dtype if dtype is None else jnp.dtype(dtype)
+        if dtype is None:
+            dtype = self.dtype
+        else:
+            from ..backend import guard_complex
+
+            dtype = jnp.dtype(dtype)
+            guard_complex(dtype, "a batched solve")
         overrides = dict(overrides or {})
         B = self._validate_overrides(overrides)
         if B is None:
@@ -328,6 +371,11 @@ class BatchedSolver:
             mu = mu0
             assert mu.shape == (B, plan.npairs)
         overrides = {k: _cast_like(dtype, v) for k, v in overrides.items()}
+        if done0 is None:
+            done0 = jnp.zeros(B, dtype=bool)
+        else:
+            done0 = jnp.asarray(done0, dtype=bool)
+            assert done0.shape == (B,), done0.shape
 
         B_orig = B
         if self.sharding is not None:
@@ -341,23 +389,38 @@ class BatchedSolver:
                 x = tuple(pad(x_) for x_ in x)
                 h = tuple(pad(h_) for h_ in h)
                 mu = pad(mu)
+                # padding lanes start done: they never iterate
+                done0 = jnp.concatenate(
+                    [done0, jnp.ones(Bp - B, dtype=bool)])
                 overrides = {k: pad(jnp.asarray(v))
                              for k, v in overrides.items()}
                 B = Bp
             put = lambda t: jax.device_put(t, self.sharding)
-            x, h, mu = put(x), put(h), put(mu)
+            x, h, mu, done0 = put(x), put(h), put(mu), put(done0)
             overrides = {k: put(jnp.asarray(v))
                          for k, v in overrides.items()}
 
         cfg = ADMMConfig(niter=int(niter),
                          interval_update_mu=int(interval_update_mu),
-                         update_h=bool(update_h), max_mu=float(max_mu))
+                         update_h=bool(update_h), max_mu=float(max_mu),
+                         fact_incr=float(fact_incr),
+                         th_change=float(th_change))
         ov_keys = tuple(sorted(overrides.keys()))
         ov_vals = tuple(jnp.asarray(overrides[k]) for k in ov_keys)
-        run = self._compiled(cfg, ov_keys, bool(record_residuals),
-                             bool(chunked_checks))
+        if record_residuals is True:
+            record, stride = True, 1
+        elif record_residuals is False:
+            record, stride = False, 1
+        else:
+            stride = int(record_residuals)
+            if stride < 1:
+                raise ValueError(
+                    f"record_residuals stride must be >= 1, got {stride}")
+            record = True
+        run = self._compiled(cfg, ov_keys, record, bool(chunked_checks),
+                             stride)
         x, h, mu, done, count, pbuf, dbuf = run(ov_vals, x, h, mu,
-                                                (rtol, atol))
+                                                (rtol, atol), done0)
         if B_orig != B:
             trim = lambda a: a[:B_orig]
             x, h = tuple(map(trim, x)), tuple(map(trim, h))
@@ -386,6 +449,16 @@ class BatchedSolver:
         n = values.shape[0]
         if group_size is None:
             group_size = n
+        if group_size < n:
+            # Warm starts broadcast the previous group's LAST lane state —
+            # only sensible when consecutive values are nearest neighbors.
+            d = np.diff(values.astype(np.float64))
+            if not (np.all(d <= 0) or np.all(d >= 0)):
+                raise ValueError(
+                    "solve_path warm-starting requires a monotone `values` "
+                    "grid (each group is seeded from the previous group's "
+                    "last solution); sort the values or pass "
+                    "group_size=len(values)")
         overrides = dict(overrides or {})
         mu0_init = kw.pop("mu0", 1.0)
         parts = []

@@ -85,6 +85,7 @@ class FusedTwoBlockSolver:
         self.model = model
         self.f0 = f0
         self.tile_b = int(tile_b)
+        self._step_cache: Dict[int, object] = {}
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = bool(interpret)
@@ -124,10 +125,18 @@ class FusedTwoBlockSolver:
             f"N={self.N} must be a multiple of 128 on TPU; pad the problem "
             "or use BatchedSolver")
 
-    @functools.lru_cache(maxsize=8)
     def _make_step(self, n_iters: int):
         """One compiled chunk step: kernel iterations + residuals +
-        penalty update (cached per chunk length)."""
+        penalty update.  Cached per chunk length on the instance (a
+        method-level lru_cache would pin the solver process-wide)."""
+        cached = self._step_cache.get(n_iters)
+        if cached is not None:
+            return cached
+        step = self._build_step(n_iters)
+        self._step_cache[n_iters] = step
+        return step
+
+    def _build_step(self, n_iters: int):
         lam, U, Ut = self.lam, self.U, self.Ut
         prox, tile_b, interpret = self.prox, self.tile_b, self.interpret
         thin = self.thin

@@ -114,7 +114,11 @@ class ScenarioScheduler:
                 h0=tuple(np.asarray(a) for a in h),
                 mu0=np.asarray(mu),
                 niter=self.chunk_iters, rtol=self.rtol, atol=self.atol,
-                record_residuals=False, **self.solve_kw)
+                record_residuals=False,
+                # parked lanes (drained stream) freeze from iteration 0
+                # instead of re-solving their old problem every wave
+                done0=lane_sid < 0,
+                **self.solve_kw)
             # np.array (copy): np.asarray on device arrays gives read-only
             # views, and lanes are mutated on reload.
             for i, a in enumerate(res.x):

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["save_state", "load_state", "restore_optimizer",
-           "save_batch_result", "load_batch_result"]
+           "save_batch_result", "load_batch_result",
+           "save_batch_result_local", "load_batch_result_scattered"]
 
 _FORMAT_VERSION = 1
 
@@ -103,6 +104,87 @@ def save_batch_result(path: str, res) -> None:
     meta = {"version": _FORMAT_VERSION, "nblocks": len(res.x),
             "npairs": len(res.h)}
     np.savez(path, __meta__=json.dumps(meta), **arrays)
+
+
+def _local_rows(a):
+    """(rows, global_indices) of the batch-axis lanes addressable by this
+    process.  Assumes batch-axis(-only) sharding, which is what
+    :class:`~admmsolver_tpu.parallel.batch.BatchedSolver` produces; fully
+    replicated / host arrays yield all lanes."""
+    if not hasattr(a, "addressable_shards"):
+        arr = np.asarray(a)
+        return arr, np.arange(arr.shape[0])
+    seen = {}
+    for sh in a.addressable_shards:
+        idx = sh.index
+        sl = idx[0] if idx else slice(None)
+        start = sl.start if sl.start is not None else 0
+        if start in seen:
+            continue  # replicas of the same global rows
+        seen[start] = np.asarray(sh.data)
+    starts = sorted(seen)
+    rows = np.concatenate([seen[s] for s in starts], axis=0)
+    gidx = np.concatenate(
+        [np.arange(s, s + seen[s].shape[0]) for s in starts])
+    return rows, gidx
+
+
+def save_batch_result_local(path: str, res) -> None:
+    """Persist only THIS PROCESS's addressable lanes of a (possibly
+    sharded) :class:`BatchResult` — the multi-host checkpoint story
+    promised in docs/SCALING.md: every process writes its own shard file
+    (e.g. ``f"ckpt_p{jax.process_index()}.npz"``) with the global lane
+    indices, with no cross-host gather and no host-0 memory spike.
+    Reassemble with :func:`load_batch_result_scattered`."""
+    arrays = {}
+    gidx = None
+    for i, x_ in enumerate(res.x):
+        arrays[f"x_{i}"], gidx = _local_rows(x_)
+    for i, h_ in enumerate(res.h):
+        arrays[f"h_{i}"], _ = _local_rows(h_)
+    for name in ("mu", "iterations", "converged",
+                 "primal_residual", "dual_residual"):
+        arrays[name], _ = _local_rows(getattr(res, name))
+    arrays["lane_index"] = gidx
+    meta = {"version": _FORMAT_VERSION, "nblocks": len(res.x),
+            "npairs": len(res.h), "scattered": True}
+    np.savez(path, __meta__=json.dumps(meta), **arrays)
+
+
+def load_batch_result_scattered(paths):
+    """Reassemble a :class:`BatchResult` from per-process shard files
+    written by :func:`save_batch_result_local` (any order; lanes are
+    sorted back into global order)."""
+    from ..parallel.batch import BatchResult
+
+    parts = []
+    meta0 = None
+    for path in paths:
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["__meta__"]))
+            if meta.get("version") != _FORMAT_VERSION or \
+                    not meta.get("scattered"):
+                raise ValueError(f"{path} is not a scattered checkpoint "
+                                 f"shard (meta={meta})")
+            if meta0 is None:
+                meta0 = meta
+            parts.append({k: z[k] for k in z.files if k != "__meta__"})
+    order = np.argsort(np.concatenate([p["lane_index"] for p in parts]))
+
+    def cat(name):
+        return np.concatenate([p[name] for p in parts], axis=0)[order]
+
+    return BatchResult(
+        x=tuple(jnp.asarray(cat(f"x_{i}"))
+                for i in range(meta0["nblocks"])),
+        h=tuple(jnp.asarray(cat(f"h_{i}"))
+                for i in range(meta0["npairs"])),
+        mu=jnp.asarray(cat("mu")),
+        iterations=jnp.asarray(cat("iterations")),
+        converged=jnp.asarray(cat("converged")),
+        primal_residual=jnp.asarray(cat("primal_residual")),
+        dual_residual=jnp.asarray(cat("dual_residual")),
+    )
 
 
 def load_batch_result(path: str):

@@ -6,8 +6,12 @@ cd "$(dirname "$0")/.."
 
 python -m pytest tests/ -x -q
 
-# static typing gate (non-strict: jax's dynamism keeps this advisory)
+# Static typing GATE (reference treats mypy as a first-class check).
+# Skips only when mypy is not installed (e.g. hermetic TPU images);
+# CI always installs it, so typing regressions fail the build.
 if python -c "import mypy" 2>/dev/null; then
     python -m mypy admmsolver_tpu --ignore-missing-imports \
-        --no-strict-optional --allow-redefinition || true
+        --no-strict-optional --allow-redefinition
+else
+    echo "mypy not installed; typing gate skipped (CI runs it)"
 fi

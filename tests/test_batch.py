@@ -282,3 +282,99 @@ def test_record_residuals_off():
     res = bs.solve({(0, "y"): ys}, niter=50, record_residuals=False)
     assert res.primal_residual.shape == (2, 1)
     assert np.asarray(res.iterations).max() <= 50
+
+
+def test_record_residuals_strided():
+    """record_residuals=s records ceil(niter/s) samples; the sample at
+    slot k is the last in-window value of the per-iteration history."""
+    rng = np.random.RandomState(3)
+    M, N, B = 10, 20, 3
+    A = rng.randn(M, N)
+    ys = rng.randn(B, M)
+    bs = BatchedSolver(_bp_template(A, ys[0]))
+
+    full = bs.solve({(0, "y"): ys}, niter=100, rtol=0)
+    s = 7
+    strided = bs.solve({(0, "y"): ys}, niter=100, rtol=0,
+                       record_residuals=s)
+    nslots = -(-100 // s)
+    assert strided.primal_residual.shape == (B, nslots)
+    pfull = np.asarray(full.primal_residual)
+    pstr = np.asarray(strided.primal_residual)
+    for k in range(nslots):
+        last = min((k + 1) * s - 1, 99)
+        np.testing.assert_allclose(pstr[:, k], pfull[:, last], rtol=1e-12)
+    # solutions identical regardless of recording mode
+    np.testing.assert_array_equal(np.asarray(strided.x[0]),
+                                  np.asarray(full.x[0]))
+    with pytest.raises(ValueError, match="stride"):
+        bs.solve({(0, "y"): ys}, niter=10, record_residuals=0)
+
+
+def test_done0_freezes_lanes():
+    """done0 lanes keep their initial state, execute 0 iterations, and do
+    not hold up the global exit."""
+    rng = np.random.RandomState(4)
+    M, N, B = 10, 20, 4
+    A = rng.randn(M, N)
+    ys = rng.randn(B, M)
+    bs = BatchedSolver(_bp_template(A, ys[0]))
+    x0 = tuple(jnp.asarray(rng.randn(B, N)) for _ in range(2))
+    done0 = np.array([False, True, False, True])
+    res = bs.solve({(0, "y"): ys}, x0=x0, niter=50, rtol=0, done0=done0)
+    its = np.asarray(res.iterations)
+    assert its[1] == 0 and its[3] == 0
+    assert its[0] == 50 and its[2] == 50
+    np.testing.assert_array_equal(np.asarray(res.x[0][1]),
+                                  np.asarray(x0[0][1]))
+    assert np.asarray(res.converged)[1]
+
+
+def test_penalty_knobs_passthrough():
+    """fact_incr/th_change reach the compiled penalty update (reference
+    update_mu kwargs, optimizer.py:277) on both solve APIs."""
+    rng = np.random.RandomState(5)
+    M, N = 8, 16
+    A = rng.randn(M, N)
+    y = rng.randn(M)
+    m = _bp_template(A, y)
+
+    # With th_change just above 1, exactly ONE balancing branch fires at
+    # the iteration-0 boundary (the residuals are not exactly equal), so
+    # mu becomes fact_incr^{+-1}; the defaults (th_change=10) leave mu=1
+    # on this problem.
+    bs = BatchedSolver(m)
+    base = bs.solve({(0, "y"): y[None]}, niter=2, rtol=0,
+                    interval_update_mu=100)
+    assert np.allclose(np.asarray(base.mu), 1.0)
+    tuned = bs.solve({(0, "y"): y[None]}, niter=2, rtol=0,
+                     interval_update_mu=100, fact_incr=8.0,
+                     th_change=1.0 + 1e-9)
+    mu_t = float(np.asarray(tuned.mu).ravel()[0])
+    assert mu_t in (8.0, 0.125), mu_t
+
+    o1 = SimpleOptimizer(m)
+    o1.solve(2, rtol=0)
+    assert np.allclose(np.asarray(o1.mu), 1.0)
+    o2 = SimpleOptimizer(m)
+    o2.solve(2, rtol=0, fact_incr=8.0, th_change=1.0 + 1e-9)
+    mu_o = float(np.asarray(o2.mu).ravel()[0])
+    assert mu_o in (8.0, 0.125), mu_o
+
+
+def test_solve_path_requires_monotone_grid():
+    rng = np.random.RandomState(6)
+    M, N = 8, 16
+    A = rng.randn(M, N)
+    y = rng.randn(M)
+    bs = BatchedSolver(_bp_template(A, y))
+    shuffled = np.array([0.5, 0.01, 0.2, 0.1])
+    with pytest.raises(ValueError, match="monotone"):
+        bs.solve_path((1, "alpha"), shuffled,
+                      overrides={(0, "y"): np.broadcast_to(y, (4, M))},
+                      group_size=2, niter=5)
+    # monotone grids (either direction) are fine
+    bs.solve_path((1, "alpha"), np.sort(shuffled)[::-1],
+                  overrides={(0, "y"): np.broadcast_to(y, (4, M))},
+                  group_size=2, niter=5, rtol=0,
+                  record_residuals=False)

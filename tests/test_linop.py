@@ -372,3 +372,94 @@ def test_inv_hpd_schur():
     got = np.asarray(inv_hpd_schur(jnp.asarray(M)))
     np.testing.assert_allclose(got, np.linalg.inv(M), rtol=1e-9,
                                atol=1e-12)
+
+
+class TestInterleavedComplexDiagonal:
+    """Real interleaved embedding of complex diagonals (realify support)."""
+
+    def _make(self, rng, n=6):
+        from admmsolver_tpu.ops.linop import InterleavedComplexDiagonalMatrix
+
+        d = rng.randn(n) + 1j * rng.randn(n)
+        op = InterleavedComplexDiagonalMatrix(d.real.copy(), d.imag.copy())
+        return d, op
+
+    def test_matvec_matches_dense(self):
+        rng = np.random.RandomState(0)
+        d, op = self._make(rng)
+        R = np.asarray(op.asmatrix())
+        v = rng.randn(12)
+        np.testing.assert_allclose(np.asarray(op @ v), R @ v, atol=1e-13)
+        vb = rng.randn(12, 3)  # trailing batch dims
+        np.testing.assert_allclose(np.asarray(op @ vb), R @ vb, atol=1e-13)
+
+    def test_transpose_conj_inv(self):
+        rng = np.random.RandomState(1)
+        d, op = self._make(rng)
+        R = np.asarray(op.asmatrix())
+        np.testing.assert_allclose(np.asarray(op.T.asmatrix()), R.T)
+        # the embedded matrix is real: conjugate is the identity
+        np.testing.assert_allclose(np.asarray(op.conjugate().asmatrix()), R)
+        np.testing.assert_allclose(np.asarray(op.inv().asmatrix()),
+                                   np.linalg.inv(R), atol=1e-12)
+
+    def test_hermitian_gram_collapses_to_diagonal(self):
+        from admmsolver_tpu.ops.linop import (DiagonalMatrix, matmul)
+
+        rng = np.random.RandomState(2)
+        d, op = self._make(rng)
+        g = matmul(op.conjugate().T, op)
+        assert isinstance(g, DiagonalMatrix)
+        np.testing.assert_allclose(np.asarray(g.diagonals),
+                                   np.repeat(np.abs(d) ** 2, 2), atol=1e-13)
+        assert g.effective_diagonal() is not None
+        # .gram() shortcut agrees
+        np.testing.assert_allclose(np.asarray(op.gram().diagonals),
+                                   np.repeat(np.abs(d) ** 2, 2), atol=1e-13)
+
+    def test_product_and_add_dispatch(self):
+        from admmsolver_tpu.ops.linop import (
+            InterleavedComplexDiagonalMatrix, ScaledIdentityMatrix, add,
+            matmul)
+
+        rng = np.random.RandomState(3)
+        d1, op1 = self._make(rng)
+        d2, op2 = self._make(rng)
+        p = matmul(op1, op2)
+        assert isinstance(p, InterleavedComplexDiagonalMatrix)
+        np.testing.assert_allclose(
+            np.asarray(p.asmatrix()),
+            np.asarray(op1.asmatrix()) @ np.asarray(op2.asmatrix()),
+            atol=1e-13)
+        s = add(op1, op2)
+        assert isinstance(s, InterleavedComplexDiagonalMatrix)
+        np.testing.assert_allclose(
+            np.asarray(s.asmatrix()),
+            np.asarray(op1.asmatrix()) + np.asarray(op2.asmatrix()))
+        si = ScaledIdentityMatrix(op1.shape[0], 0.7)
+        s2 = add(si, op1)
+        assert isinstance(s2, InterleavedComplexDiagonalMatrix)
+        np.testing.assert_allclose(
+            np.asarray(s2.asmatrix()),
+            0.7 * np.eye(op1.shape[0]) + np.asarray(op1.asmatrix()))
+
+    def test_effective_diagonal_only_when_real(self):
+        rng = np.random.RandomState(4)
+        d, op = self._make(rng)
+        assert op.effective_diagonal() is None  # genuinely complex
+        from admmsolver_tpu.ops.linop import InterleavedComplexDiagonalMatrix
+
+        re_only = InterleavedComplexDiagonalMatrix(
+            d.real.copy(), np.zeros_like(d.real))
+        np.testing.assert_allclose(np.asarray(re_only.effective_diagonal()),
+                                   np.repeat(d.real, 2))
+
+    def test_pytree_roundtrip(self):
+        import jax
+
+        rng = np.random.RandomState(5)
+        _, op = self._make(rng)
+        leaves, treedef = jax.tree_util.tree_flatten(op)
+        op2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        np.testing.assert_allclose(np.asarray(op2.asmatrix()),
+                                   np.asarray(op.asmatrix()))

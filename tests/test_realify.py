@@ -206,3 +206,95 @@ def test_realified_batched_solver():
         ob.solve(80, rtol=0)
         got = np.asarray(decode(res.x[0][b]))
         np.testing.assert_allclose(got, np.asarray(ob.x[0]), atol=1e-9)
+
+
+def test_realified_complex_diagonal_coupling():
+    """A genuinely complex diagonal coupling must keep a diagonal EcE in
+    the realified model (round-1 densified it, breaking the separable
+    prox): realified trajectory == complex trajectory."""
+    from admmsolver_tpu.ops.linop import InterleavedComplexDiagonalMatrix
+
+    rng = np.random.RandomState(11)
+    M, N = 6, 8
+    A = _randn_cmplx(rng, M, N)
+    y = _randn_cmplx(rng, M)
+    E = DiagonalMatrix(jnp.asarray(
+        _randn_cmplx(rng, N) + 2.0))  # complex, well-conditioned
+    model = Model(
+        [LeastSquares(1.0, A, y), L1Regularizer(0.2, N)],
+        [(1, 0, E, identity(N))])
+    re = realify_model(model)
+    # structure: the embedded coupling is NOT dense
+    emb = re.model.E[(0, 1)]
+    assert isinstance(emb, InterleavedComplexDiagonalMatrix), type(emb)
+
+    oc = SimpleOptimizer(model)
+    oc.solve(120, rtol=0)
+    orr = SimpleOptimizer(re.model)
+    orr.solve(120, rtol=0)
+    for xc, xr in zip(oc.x, re.decode_x(orr.x)):
+        np.testing.assert_allclose(np.asarray(xr), np.asarray(xc),
+                                   atol=1e-9)
+    np.testing.assert_allclose(orr._primal_residual, oc._primal_residual,
+                               rtol=1e-7, atol=1e-12)
+
+
+def test_realified_complex_scaled_identity_coupling():
+    """Complex scaled-identity couplings stay structured too."""
+    from admmsolver_tpu.ops.linop import InterleavedComplexDiagonalMatrix
+
+    op = ScaledIdentityMatrix(5, 1.0 - 0.5j)
+    R = realify_matrix(op)
+    assert isinstance(R, InterleavedComplexDiagonalMatrix)
+    rng = np.random.RandomState(0)
+    v = _randn_cmplx(rng, 5)
+    np.testing.assert_allclose(
+        np.asarray(R @ encode(v)),
+        np.asarray(encode((1.0 - 0.5j) * v)), atol=1e-13)
+
+
+def test_realify_partial_diagonal_complex_dtype_inner():
+    """A real-valued but complex-dtype PartialDiagonalMatrix inner must be
+    cast to real dtype in the realified operator (ADVICE round 1)."""
+    import jax
+
+    rng = np.random.RandomState(2)
+    inner = DenseMatrix(jnp.asarray(rng.randn(3, 3).astype(complex)))
+    op = PartialDiagonalMatrix(inner, (2,))
+    R = realify_matrix(op)
+    for leaf in jax.tree_util.tree_leaves(R):
+        assert not np.issubdtype(np.asarray(leaf).dtype,
+                                 np.complexfloating), R
+
+
+def test_complex_guard_on_tpu_backend(monkeypatch):
+    """Building a complex solver on a complex-less backend must raise
+    early with a realify pointer instead of hanging in the compiler."""
+    import jax
+
+    import admmsolver_tpu.backend as be
+    from admmsolver_tpu import SimpleOptimizer as Opt
+
+    rng = np.random.RandomState(13)
+    model = _complex_bp_model(rng)
+
+    monkeypatch.setattr(be.jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="realify_model"):
+        Opt(model)
+    with pytest.raises(ValueError, match="realify_model"):
+        BatchedSolver(model)
+    # explicit complex dtype on a real model: also guarded
+    real_model = Model(
+        [LeastSquares(1.0, np.random.RandomState(0).randn(4, 6),
+                      np.zeros(4)), L1Regularizer(0.1, 6)],
+        [(1, 0, identity(6), identity(6))])
+    bs = BatchedSolver(real_model)
+    with pytest.raises(ValueError, match="realify_model"):
+        bs.solve({(0, "y"): np.zeros((2, 4))}, niter=1,
+                 dtype="complex128")
+    # the realified model sails through
+    re = realify_model(model)
+    BatchedSolver(re.model)
+    # escape hatch
+    monkeypatch.setenv("ADMMSOLVER_TPU_ALLOW_COMPLEX", "1")
+    BatchedSolver(model)
