@@ -39,7 +39,15 @@ def psd_project(x, shape, axis):
     """
     x3 = x.reshape(shape)
     x3 = jnp.moveaxis(x3, axis, 0)  # (K, n, n)
-    evals, evecs = jnp.linalg.eigh(x3)
+    # Reference semantics: np.linalg.eigh reads ONLY the lower triangle
+    # (UPLO='L'), whereas jnp.linalg.eigh symmetrizes its input.  The
+    # slices are NOT exactly Hermitian inside the ADMM loop (the duals h
+    # are unconstrained), so build the Hermitian matrix the reference
+    # implicitly diagonalizes: lower triangle mirrored, diagonal real.
+    lo = jnp.tril(x3, -1)
+    eye = jnp.eye(x3.shape[-1], dtype=jnp.real(x3).dtype)
+    herm = lo + lo.conj().swapaxes(-1, -2) + jnp.real(x3) * eye
+    evals, evecs = jnp.linalg.eigh(herm)
     evals = jnp.maximum(evals, 0.0)
     proj = jnp.einsum("kij,kj,klj->kil", evecs, evals, evecs.conj())
     return jnp.moveaxis(proj, 0, axis).ravel()

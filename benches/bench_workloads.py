@@ -32,15 +32,95 @@ def _time_solve(solve, repeats=2):
     return res, float(np.median(times))
 
 
-def _emit(name, B, niter, dt, extra):
-    print(json.dumps({
+def _emit(name, B, niter, dt, extra, ref_ips=None):
+    ours = B * niter / dt
+    out = {
         "config": name,
         "batch": B,
         "niter": niter,
         "seconds": round(dt, 4),
-        "instance_iters_per_s": round(B * niter / dt, 1),
+        "instance_iters_per_s": round(ours, 1),
         **extra,
-    }), flush=True)
+    }
+    if ref_ips:
+        out["ref_iters_per_s"] = round(ref_ips, 2)
+        out["vs_baseline"] = round(ours / ref_ips, 1)
+    print(json.dumps(out), flush=True)
+
+
+# ---------------------------------------------------------------------
+# Reference (SpM-lab/admmsolver, NumPy, this host's CPU) baselines.  The
+# reference has no batching/parallelism (SURVEY.md §2.2): its chip-
+# equivalent throughput IS its single-instance iteration rate on the
+# same problem.  Measured live so every config gets a vs_baseline.
+# ---------------------------------------------------------------------
+
+def _ref_modules():
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        import admmsolver.matrix as mat
+        import admmsolver.objectivefunc as obj
+        import admmsolver.optimizer as opt
+    except ImportError:
+        return None
+    finally:
+        sys.path.remove("/root/reference/src")
+    import types
+
+    return types.SimpleNamespace(mat=mat, obj=obj, opt=opt)
+
+
+def _ref_rate(build, niter=30):
+    """Single-instance reference iterations/s for a model builder."""
+    ref = _ref_modules()
+    if ref is None:
+        return None
+    o = build(ref)
+    o.solve(2)  # warm the factorization cache
+    t0 = time.perf_counter()
+    o.solve(niter, rtol=0.0)
+    return niter / (time.perf_counter() - t0)
+
+
+def _ref_bp(ref, A, y, alpha=0.1):
+    N = A.shape[1]
+    p = ref.opt.Model(
+        [ref.obj.LeastSquares(1.0, A, y), ref.obj.L1Regularizer(alpha, N)],
+        [(1, 0, ref.mat.identity(N), ref.mat.identity(N))])
+    return ref.opt.SimpleOptimizer(p)
+
+
+def _ref_lasso_nn(ref, A, y, alpha):
+    N = A.shape[1]
+    p = ref.opt.Model(
+        [ref.obj.LeastSquares(1.0, A, y), ref.obj.L1Regularizer(alpha, N),
+         ref.obj.NonNegativePenalty(N)],
+        [(1, 0, ref.mat.identity(N), ref.mat.identity(N)),
+         (2, 0, ref.mat.identity(N), ref.mat.identity(N))])
+    return ref.opt.SimpleOptimizer(p)
+
+
+def _ref_spm(ref, s, g, prj_sum, prj_w, alpha):
+    nl, nw = s.size, prj_w.shape[0]
+    p = ref.opt.Model(
+        [ref.obj.ConstrainedLeastSquares(
+            1.0, ref.mat.DiagonalMatrix(-np.asarray(s)), np.asarray(g),
+            np.asarray(prj_sum).reshape(1, nl), np.array([1.0])),
+         ref.obj.L1Regularizer(alpha, nl),
+         ref.obj.NonNegativePenalty(nw)],
+        [(0, 1, ref.mat.identity(nl), ref.mat.identity(nl)),
+         (0, 2, ref.mat.DenseMatrix(np.asarray(prj_w)),
+          ref.mat.identity(nw))])
+    return ref.opt.SimpleOptimizer(p, mu=0.1)
+
+
+def _ref_sdp(ref, A, y, shape, axis):
+    N = int(np.prod(shape))
+    p = ref.opt.Model(
+        [ref.obj.LeastSquares(1.0, A, y),
+         ref.obj.SemiPositiveDefinitePenalty(shape, axis)],
+        [(1, 0, ref.mat.identity(N), ref.mat.identity(N))])
+    return ref.opt.SimpleOptimizer(p)
 
 
 def bench_bp(dtype):
@@ -62,7 +142,8 @@ def bench_bp(dtype):
         ov, niter=niter, rtol=0.0, record_residuals=False))
     err = float(np.max(np.abs(np.asarray(res.x[0], np.float64) - xt)))
     _emit("basis_pursuit", B, niter, dt,
-          {"max_err_vs_truth": round(err, 6)})
+          {"max_err_vs_truth": round(err, 6)},
+          ref_ips=_ref_rate(lambda ref: _ref_bp(ref, A, ys[0])))
 
 
 def bench_lasso(dtype):
@@ -85,7 +166,8 @@ def bench_lasso(dtype):
         ov, niter=niter, rtol=0.0, record_residuals=False))
     xs = np.asarray(res.x[2], np.float64)
     _emit("lasso_nonneg_3block", B, niter, dt,
-          {"min_x_nonneg_block": round(float(xs.min()), 9)})
+          {"min_x_nonneg_block": round(float(xs.min()), 9)},
+          ref_ips=_ref_rate(lambda ref: _ref_lasso_nn(ref, A, ys[0], 0.05)))
 
 
 def bench_spm(dtype):
@@ -113,7 +195,9 @@ def bench_spm(dtype):
            "median_sum_rule_dev": round(
                float(np.median(np.abs(
                    np.asarray(res.x[0], np.float64) @ np.asarray(prj_sum)
-                   - 1.0))), 9)})
+                   - 1.0))), 9)},
+          ref_ips=_ref_rate(
+              lambda ref: _ref_spm(ref, s, g, prj_sum, prj_w, 1e-4)))
 
 
 def bench_sdp(dtype):
@@ -144,7 +228,9 @@ def bench_sdp(dtype):
     lam_min = np.linalg.eigvalsh(
         np.moveaxis(X, (1, 2), (-2, -1))).min()
     _emit("sdp_psd_prox", B, niter, dt,
-          {"min_eigenvalue_psd_block": round(float(lam_min), 9)})
+          {"min_eigenvalue_psd_block": round(float(lam_min), 9)},
+          ref_ips=_ref_rate(lambda ref: _ref_sdp(ref, A, y, shape, 2),
+                            niter=20))
 
 
 def bench_lpath(dtype):
@@ -165,8 +251,11 @@ def bench_lpath(dtype):
         (1, "alpha"), lams, group_size=256, niter=niter, rtol=0.0,
         record_residuals=False), repeats=1)
     err = float(np.max(np.abs(np.asarray(res.x[0][-1], np.float64) - xt)))
+    # reference baseline: it solves each lambda as an independent
+    # single-instance problem at its basis-pursuit iteration rate
     _emit("lambda_path_1024", nlam, niter, dt,
-          {"max_err_at_smallest_lambda": round(err, 6)})
+          {"max_err_at_smallest_lambda": round(err, 6)},
+          ref_ips=_ref_rate(lambda ref: _ref_bp(ref, A, y, 0.5)))
 
 
 def main():

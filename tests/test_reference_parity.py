@@ -148,3 +148,91 @@ def test_mu0_override_parity(ref):
     t = _run_tpu(A, y, 0.1, 60, mu0=0.25)
     np.testing.assert_allclose(np.asarray(t.x[0]), r.x[0], atol=1e-12)
     assert len(r._primal_residual) == len(t._primal_residual)
+
+
+def test_spm_three_block_constrained_ls_parity(ref):
+    """The reference's flagship SpM workload (spm.ipynb cells 10-11):
+    ConstrainedLeastSquares (sum rule as hard equality) + L1 + NonNegative
+    through the real-frequency projector, with adaptive mu — trajectory-
+    level parity."""
+    from admmsolver_tpu.models.applications import (spm_model,
+                                                    synthetic_spm_data)
+
+    s, g, prj_sum, prj_w, omega, rho = synthetic_spm_data(nl=12, nw=25)
+    nl, nw = s.size, prj_w.shape[0]
+
+    rp = ref.opt.Model(
+        [ref.obj.ConstrainedLeastSquares(
+            1.0, ref.mat.DiagonalMatrix(-s), g,
+            np.asarray(prj_sum).reshape(1, nl), np.array([1.0])),
+         ref.obj.L1Regularizer(1e-3, nl),
+         ref.obj.NonNegativePenalty(nw)],
+        [(0, 1, ref.mat.identity(nl), ref.mat.identity(nl)),
+         (0, 2, ref.mat.DenseMatrix(prj_w), ref.mat.identity(nw))])
+    ro = ref.opt.SimpleOptimizer(rp, mu=0.1)
+    ro.solve(400)
+
+    tp = spm_model(s, g, prj_sum, prj_w, alpha_l1=1e-3)
+    to = __import__("admmsolver_tpu").SimpleOptimizer(tp, mu=0.1)
+    to.solve(400)
+
+    assert len(to._primal_residual) == len(ro._primal_residual)
+    np.testing.assert_allclose(to._primal_residual, ro._primal_residual,
+                               rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(to._dual_residual, ro._dual_residual,
+                               rtol=1e-5, atol=1e-12)
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(to.x[k]), ro.x[k].real,
+                                   atol=1e-8)
+        assert np.abs(np.asarray(ro.x[k]).imag).max() < 1e-14
+    # adapted penalties agree (pairs (1,0) and (2,0) in reference storage)
+    ref_mu = [ro._mu[i, j] for (i, j) in tp.pairs]
+    np.testing.assert_allclose(np.asarray(to.mu), ref_mu, rtol=1e-12)
+    # and the sum rule holds exactly, like the reference
+    np.testing.assert_allclose(
+        float(np.asarray(prj_sum) @ np.asarray(to.x[0])), 1.0, atol=1e-9)
+
+
+def test_spd_penalty_parity(ref):
+    """SemiPositiveDefinitePenalty engine path (batched eigh) vs the
+    reference's per-slice eigh loop, with adaptive mu."""
+    from admmsolver_tpu.models.applications import sdp_model
+
+    rng = np.random.RandomState(42)
+    shape, axis = (3, 4, 4), 0
+    N = int(np.prod(shape))
+    M = 24
+    A = rng.randn(M, N)
+    # target: PSD slices, so the fit has a meaningful PSD-feasible answer
+    xt = np.zeros(shape)
+    for i in range(shape[0]):
+        Q = rng.randn(4, 4)
+        xt[i] = Q @ Q.T
+    y = A @ xt.ravel() + 0.01 * rng.randn(M)
+
+    rp = ref.opt.Model(
+        [ref.obj.LeastSquares(1.0, A, y),
+         ref.obj.SemiPositiveDefinitePenalty(shape, axis)],
+        [(1, 0, ref.mat.identity(N), ref.mat.identity(N))])
+    ro = ref.opt.SimpleOptimizer(rp)
+    ro.solve(300)
+
+    tp = sdp_model(A, y, shape, axis)
+    to = __import__("admmsolver_tpu").SimpleOptimizer(tp)
+    to.solve(300)
+
+    assert len(to._primal_residual) == len(ro._primal_residual)
+    np.testing.assert_allclose(to._primal_residual, ro._primal_residual,
+                               rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(to._dual_residual, ro._dual_residual,
+                               rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(to.x[0]), ro.x[0].real,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(to.x[1]), ro.x[1].real,
+                               atol=1e-8)
+    ref_mu = [ro._mu[i, j] for (i, j) in tp.pairs]
+    np.testing.assert_allclose(np.asarray(to.mu), ref_mu, rtol=1e-12)
+    # PSD property of the projected block
+    xs = np.moveaxis(np.asarray(to.x[1]).reshape(shape), axis, 0)
+    for sl in xs:
+        assert np.linalg.eigvalsh(sl).min() >= -1e-10
