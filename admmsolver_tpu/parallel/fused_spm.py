@@ -1,0 +1,312 @@
+"""Fused fast path for the 3-block SpM family.
+
+Drives :func:`admmsolver_tpu.ops.kernels.fused_spm_chunk`: per chunk the
+Pallas kernel runs ``interval_update_mu`` iterations with all per-lane
+state VMEM-resident; between chunks an XLA step computes the pair
+residuals, the convergence predicate, the residual-balancing penalty
+update (reference ``optimizer.py:277-299``), and the refreshed per-lane
+affine factor — the reference's hash-keyed cache as a static schedule,
+at chunk granularity like :class:`FusedTwoBlockSolver`.
+
+Scope: ``Model([ConstrainedLeastSquares-or-LeastSquares, L1Regularizer,
+NonNegativePenalty], [(0, 1, I, I), (0, 2, P, I)])`` — the reference's
+flagship SpM analytic-continuation workload (``notebooks/spm.ipynb``
+cells 10-11) — in float32.  The constrained prox is folded into a
+per-lane affine map at factor time:
+
+    x0 = b2 - M hk0,  M = (I - xi2 S^{-1} C) B,  B = (a A†A + mu_op)^{-1}
+    b2 = a M A†y + xi2 S^{-1} D
+
+algebraically identical to the engine's block elimination (reference
+``objectivefunc.py:138-157``); a plain LeastSquares block is the special
+case M = B, b2 = a B A†y.  Everything else uses
+:class:`~admmsolver_tpu.parallel.batch.BatchedSolver`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.objectivefunc import (ConstrainedLeastSquares, L1Regularizer,
+                                    LeastSquares, NonNegativePenalty)
+from ..models.problem import Model
+from ..ops.kernels import fused_spm_chunk
+from ..ops.linop import ScaledIdentityMatrix, _concrete, inv_hpd_schur
+from .fused import _is_identity_si
+
+__all__ = ["FusedSpMSolver", "FusedSpMResult"]
+
+
+def _pad8(n: int) -> int:
+    return max(8, ((n + 7) // 8) * 8)
+
+
+@dataclasses.dataclass
+class FusedSpMResult:
+    """Batch-major converged state (x: tuple of (B, n_k))."""
+
+    x: tuple
+    h: tuple
+    mu: jnp.ndarray              # (B, 2), pair order [(1,0), (2,0)]
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+    primal_residual: jnp.ndarray  # (B, nchunks) per-chunk samples
+    dual_residual: jnp.ndarray
+
+
+class FusedSpMSolver:
+    """VMEM-resident fused solver for the SpM 3-block family."""
+
+    def __init__(self, model: Model, tile_b: int = 256,
+                 interpret: Optional[bool] = None) -> None:
+        assert model.num_func == 3, "fused SpM path covers 3-block models"
+        assert model.pairs == [(1, 0), (2, 0)], model.pairs
+        f0, f1, f2 = model.functions
+        if not isinstance(f0, LeastSquares):
+            raise ValueError("block 0 must be (Constrained)LeastSquares")
+        if not isinstance(f1, L1Regularizer):
+            raise ValueError("block 1 must be L1Regularizer")
+        if not isinstance(f2, NonNegativePenalty):
+            raise ValueError("block 2 must be NonNegativePenalty")
+        if not (_is_identity_si(model.E[(1, 0)])
+                and _is_identity_si(model.E[(0, 1)])
+                and _is_identity_si(model.E[(0, 2)])):
+            raise ValueError("couplings must be (0,1,I,I), (0,2,P,I)")
+        P = _concrete(model.E[(2, 0)].asmatrix())
+        AcA = _concrete(f0._AcA.asmatrix())
+        Ac = _concrete(f0._Ac.asmatrix())
+        if P is None or AcA is None or Ac is None:
+            raise ValueError("fused SpM path needs concrete operators")
+        if np.iscomplexobj(P) or np.iscomplexobj(AcA):
+            raise ValueError("fused SpM path is real-f32 only; realify "
+                             "complex models first")
+
+        self.model = model
+        self.f0, self.f1 = f0, f1
+        self.nl = f0.size_x
+        self.nw = f2.size_x
+        self.nl_pad = _pad8(self.nl)
+        self.nw_pad = _pad8(self.nw)
+        self.tile_b = int(tile_b)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = bool(interpret)
+
+        f32 = np.float32
+        Ppad = np.zeros((self.nw_pad, self.nl_pad), f32)
+        Ppad[:self.nw, :self.nl] = np.asarray(P, f32)
+        self.P = jnp.asarray(Ppad)
+        self.Pt = jnp.asarray(Ppad.T.copy())
+        self.AcA = jnp.asarray(np.asarray(AcA, f32))
+        self.Ac = jnp.asarray(np.asarray(Ac, f32))
+        self.W = jnp.asarray(np.asarray(P, f32).T @ np.asarray(P, f32))
+
+        self.is_cls = isinstance(f0, ConstrainedLeastSquares)
+        if self.is_cls:
+            C = _concrete(f0._C.asmatrix())
+            D = _concrete(f0._D)
+            if C is None or D is None:
+                raise ValueError("constraint C/D must be concrete")
+            self.C = jnp.asarray(np.asarray(C, f32))      # (nc, nl)
+            self.D = jnp.asarray(np.asarray(D, f32))      # (nc,)
+            self.nc = self.C.shape[0]
+
+    # -- factor refresh (chunk boundaries) -----------------------------
+    def _factors(self, mu1, mu2, alpha_ls, acy):
+        """Per-lane affine factor (M, b2) in feature-major padded form.
+
+        ``mu1``/``mu2``/``alpha_ls``: (B,); ``acy`` = A†y (B, nl).
+        """
+        nl, nl_pad = self.nl, self.nl_pad
+        eye = jnp.eye(nl, dtype=jnp.float32)
+        Mpen = (alpha_ls[:, None, None] * self.AcA[None]
+                + mu1[:, None, None] * eye[None]
+                + mu2[:, None, None] * self.W[None])
+        Bf = inv_hpd_schur(Mpen)                        # (B, nl, nl)
+        if self.is_cls:
+            Ch = self.C.conj().T                        # (nl, nc)
+            # per-lane small products as broadcast mul + reduce (VPU)
+            xi2 = -jnp.sum(Bf[..., None] * Ch[None, None], axis=2)
+            S = jnp.sum(self.C[None, :, :, None]
+                        * xi2[:, None], axis=2)         # (B, nc, nc)
+            Sinv = -inv_hpd_schur(-S)
+            CB = jnp.sum(self.C[None, :, :, None]
+                         * Bf[:, None], axis=2)         # (B, nc, nl)
+            SinvCB = jnp.sum(Sinv[..., None] * CB[:, None], axis=2)
+            M = Bf - jnp.sum(xi2[..., None] * SinvCB[:, None], axis=2)
+            SinvD = jnp.sum(Sinv * self.D[None, None, :], axis=2)
+            b2 = (alpha_ls[:, None]
+                  * jnp.sum(M * acy[:, None, :], axis=2)
+                  + jnp.sum(xi2 * SinvD[:, None], axis=2))
+        else:
+            M = Bf
+            b2 = alpha_ls[:, None] * jnp.sum(M * acy[:, None, :], axis=2)
+        B = M.shape[0]
+        Mp = jnp.zeros((B, nl_pad, nl_pad), jnp.float32)
+        Mp = Mp.at[:, :nl, :nl].set(M)
+        b2p = jnp.zeros((B, nl_pad), jnp.float32).at[:, :nl].set(b2)
+        # feature-major: (nl_pad^2, B) and (nl_pad, B)
+        return (Mp.transpose(1, 2, 0).reshape(nl_pad * nl_pad, B),
+                b2p.T)
+
+    # -- one compiled chunk step ----------------------------------------
+    def _step(self, n_iters: int):
+        cached = getattr(self, "_step_cache", None)
+        if cached is None:
+            cached = self._step_cache = {}
+        if n_iters in cached:
+            return cached[n_iters]
+
+        P, Pt = self.P, self.Pt
+        nl = self.nl
+        tile_b, interpret = self.tile_b, self.interpret
+
+        def norm_f(a):  # feature-major norms over the feature axis
+            return jnp.linalg.norm(a, axis=0)
+
+        def step(state, acy, alpha_ls, alpha1, tols, knobs, do_mu):
+            x0, x1, x2, h10, h20, mu, done, count = state
+            rtol, atol = tols
+            fact_incr, th_change, max_mu = knobs
+            mu1, mu2 = mu[:, 0], mu[:, 1]
+
+            Mf, b2f = self._factors(mu1, mu2, alpha_ls, acy)
+            scal = jnp.zeros((8, mu.shape[0]), jnp.float32)
+            scal = scal.at[0].set(mu1).at[1].set(mu2)
+            scal = scal.at[2].set(0.5 * alpha1 / mu1)
+
+            x0n, x1n, x2n, h10n, h20n, x0p = fused_spm_chunk(
+                Pt, P, Mf, b2f, scal, x0, x1, x2, h10, h20,
+                n_iters=n_iters, tile_b=tile_b, interpret=interpret)
+            act = jnp.logical_not(done)
+            am = act[None, :]
+            x0n = jnp.where(am, x0n, x0)
+            x1n = jnp.where(am, x1n, x1)
+            x2n = jnp.where(am, x2n, x2)
+            h10n = jnp.where(am, h10n, h10)
+            h20n = jnp.where(am, h20n, h20)
+            x0p = jnp.where(am, x0p, x0)
+
+            # pair residuals of the chunk's final iteration (engine
+            # semantics; pairs (1,0) and (2,0))
+            hi = jax.lax.Precision.HIGHEST
+            Px0 = jnp.dot(P, x0n, precision=hi)
+            Px0p = jnp.dot(P, x0p, precision=hi)
+            pn1 = norm_f(x0n - x1n)
+            dn1 = mu1 * norm_f(x0n - x0p)
+            pn2 = norm_f(Px0 - x2n)
+            dn2 = mu2 * norm_f(Px0 - Px0p)
+            rp1 = pn1 / jnp.maximum(norm_f(x0n), norm_f(x1n))
+            rd1 = dn1 / jnp.maximum(mu1 * norm_f(x0n),
+                                    mu1 * norm_f(x0p))
+            rp2 = pn2 / jnp.maximum(norm_f(Px0), norm_f(x2n))
+            rd2 = dn2 / jnp.maximum(mu2 * norm_f(Px0),
+                                    mu2 * norm_f(Px0p))
+            conv = (rp1 < rtol) & (rd1 < rtol) & \
+                   (rp2 < rtol) & (rd2 < rtol)
+            pn, dn = pn1 + pn2, dn1 + dn2
+            conv = conv | ((pn < atol) & (dn < atol))
+            done_new = done | (act & conv)
+
+            def balance(m, p, d):
+                m2 = jnp.where(p > th_change * d, m * fact_incr, m)
+                m2 = jnp.where(d > th_change * p, m2 / fact_incr, m2)
+                return jnp.minimum(m2, max_mu)
+
+            upd = do_mu & act & jnp.logical_not(done_new)
+            mu_out = jnp.stack(
+                [jnp.where(upd, balance(mu1, pn1, dn1), mu1),
+                 jnp.where(upd, balance(mu2, pn2, dn2), mu2)], axis=1)
+
+            count = count + act.astype(count.dtype) * n_iters
+            state = (x0n, x1n, x2n, h10n, h20n, mu_out, done_new, count)
+            return state, (pn, dn)
+
+        cached[n_iters] = jax.jit(step)
+        return cached[n_iters]
+
+    def solve(self,
+              overrides: Optional[Dict] = None,
+              batch_size: Optional[int] = None,
+              niter: int = 10000,
+              mu0=1.0,
+              interval_update_mu: int = 100,
+              rtol: float = 1e-12,
+              atol: float = 0.0,
+              fact_incr: float = 2.0,
+              th_change: float = 10.0,
+              max_mu: float = 1e3) -> FusedSpMResult:
+        """Solve a batch; overrides ``{(0,'y'): (B, M), (0,'alpha'): (B,),
+        (1,'alpha'): (B,)}`` subsets, as in BatchedSolver."""
+        overrides = dict(overrides or {})
+        B = batch_size
+        for v in overrides.values():
+            B = np.shape(v)[0]
+        if B is None:
+            raise ValueError("pass overrides or batch_size")
+        Bp = ((B + self.tile_b - 1) // self.tile_b) * self.tile_b
+
+        def batched_scalar(key, default):
+            if key in overrides:
+                a = jnp.asarray(overrides[key], dtype=jnp.float32)
+            else:
+                a = jnp.full((B,), float(default), dtype=jnp.float32)
+            if Bp != B:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (Bp - B,))])
+            return a
+
+        ys = overrides.get((0, "y"))
+        if ys is not None:
+            acy = jnp.asarray(np.asarray(ys, np.float32)
+                              @ np.asarray(self.Ac).T)
+        else:
+            acy = jnp.broadcast_to(
+                jnp.asarray(np.asarray(self.f0._Acy, np.float32)),
+                (B, self.nl))
+        if Bp != B:
+            acy = jnp.concatenate(
+                [acy, jnp.broadcast_to(acy[:1], (Bp - B, self.nl))])
+        alpha_ls = batched_scalar((0, "alpha"), float(self.f0._alpha))
+        alpha1 = batched_scalar((1, "alpha"), float(self.f1._alpha))
+
+        zf = lambda f: jnp.zeros((f, Bp), jnp.float32)
+        state = (zf(self.nl_pad), zf(self.nl_pad), zf(self.nw_pad),
+                 zf(self.nl_pad), zf(self.nw_pad),
+                 jnp.full((Bp, 2), float(mu0), jnp.float32),
+                 jnp.zeros(Bp, dtype=bool), jnp.zeros(Bp, jnp.int32))
+
+        tols = (jnp.float32(rtol), jnp.float32(atol))
+        knobs = (jnp.float32(fact_incr), jnp.float32(th_change),
+                 jnp.float32(max_mu))
+
+        interval = int(interval_update_mu)
+        pns, dns = [], []
+        it = 0
+        while it < niter:
+            n = 1 if it == 0 else min(interval, niter - it)
+            is_boundary = ((it + n - 1) % interval) == 0
+            step = self._step(n)
+            state, (pn, dn) = step(state, acy, alpha_ls, alpha1, tols,
+                                   knobs, jnp.asarray(is_boundary))
+            pns.append(pn)
+            dns.append(dn)
+            it += n
+            if bool(jnp.all(state[6])):
+                break
+
+        x0, x1, x2, h10, h20, mu, done, count = state
+        trim_f = lambda a, f: a[:f, :B].T  # feature-major -> (B, f)
+        return FusedSpMResult(
+            x=(trim_f(x0, self.nl), trim_f(x1, self.nl),
+               trim_f(x2, self.nw)),
+            h=(trim_f(h10, self.nl), trim_f(h20, self.nw)),
+            mu=mu[:B],
+            iterations=jnp.minimum(count[:B], niter),
+            converged=done[:B],
+            primal_residual=jnp.stack(pns, axis=1)[:B],
+            dual_residual=jnp.stack(dns, axis=1)[:B])

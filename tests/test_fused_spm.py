@@ -1,0 +1,116 @@
+"""Fused SpM 3-block kernel tests (interpret mode on CPU; the XLA engine
+is the oracle — the kernel must reproduce the iteration math, including
+the constrained-LS elimination folded into the affine factor)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from admmsolver_tpu.models.applications import spm_model, synthetic_spm_data
+from admmsolver_tpu.parallel import BatchedSolver, FusedSpMSolver
+
+
+@pytest.fixture(scope="module")
+def spm_setup():
+    s, g, prj_sum, prj_w, omega, rho = synthetic_spm_data(nl=12, nw=25)
+    rng = np.random.RandomState(0)
+    B = 6
+    gs = np.asarray(g)[None, :] + 1e-4 * rng.randn(B, g.size)
+    model = spm_model(s, np.asarray(g), prj_sum, prj_w, alpha_l1=1e-3)
+    return model, gs
+
+
+def test_fused_spm_matches_engine_short(spm_setup):
+    """Short horizon: per-iteration f32 state match (through the
+    iteration-0 penalty boundary)."""
+    model, gs = spm_setup
+    fs = FusedSpMSolver(model, tile_b=2)
+    rf = fs.solve({(0, "y"): gs}, niter=21, mu0=0.1)
+    rb = BatchedSolver(model).solve({(0, "y"): gs}, niter=21, mu0=0.1,
+                                    dtype=jnp.float32)
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(rf.x[k]),
+                                   np.asarray(rb.x[k]), atol=5e-4)
+    for k in range(2):
+        np.testing.assert_allclose(np.asarray(rf.h[k]),
+                                   np.asarray(rb.h[k]), atol=5e-4)
+
+
+def test_fused_spm_matches_engine_long(spm_setup):
+    """Long horizon through many penalty updates: same fixed-point
+    neighborhood, penalties within one balancing step."""
+    model, gs = spm_setup
+    fs = FusedSpMSolver(model, tile_b=2)
+    rf = fs.solve({(0, "y"): gs}, niter=1501, mu0=0.1, rtol=1e-6)
+    rb = BatchedSolver(model).solve({(0, "y"): gs}, niter=1501, mu0=0.1,
+                                    rtol=1e-6, dtype=jnp.float32)
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(rf.x[k]),
+                                   np.asarray(rb.x[k]), atol=2e-3)
+    ratio = np.asarray(rf.mu) / np.asarray(rb.mu)
+    assert np.all((ratio >= 0.49) & (ratio <= 2.01)), ratio
+
+
+def test_fused_spm_solution_properties(spm_setup):
+    """Solution-level checks: sum rule exact, spectrum nonnegative,
+    converged lanes flagged."""
+    model, gs = spm_setup
+    s, g, prj_sum, prj_w, omega, rho = synthetic_spm_data(nl=12, nw=25)
+    fs = FusedSpMSolver(model, tile_b=2)
+    rf = fs.solve({(0, "y"): gs}, niter=4000, mu0=0.1, atol=1e-6)
+    assert bool(np.all(np.asarray(rf.converged)))
+    x2 = np.asarray(rf.x[2])
+    assert x2.min() >= 0.0
+    sums = np.asarray(rf.x[0]) @ np.asarray(prj_sum)
+    np.testing.assert_allclose(sums, 1.0, atol=1e-4)
+
+
+def test_fused_spm_plain_ls_block():
+    """The LeastSquares (unconstrained) special case: M = B, b2 = aBA†y."""
+    from admmsolver_tpu import (L1Regularizer, LeastSquares, Model,
+                                NonNegativePenalty, identity)
+
+    rng = np.random.RandomState(1)
+    nl, nw, B = 10, 17, 4
+    A = rng.randn(14, nl)
+    P = rng.randn(nw, nl) * 0.3
+    ys = rng.randn(B, 14)
+    model = Model(
+        [LeastSquares(1.0, A, ys[0]), L1Regularizer(0.05, nl),
+         NonNegativePenalty(nw)],
+        [(0, 1, identity(nl), identity(nl)),
+         (0, 2, P, identity(nw))])
+    fs = FusedSpMSolver(model, tile_b=2)
+    rf = fs.solve({(0, "y"): ys}, niter=120)
+    rb = BatchedSolver(model).solve({(0, "y"): ys}, niter=120,
+                                    dtype=jnp.float32)
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(rf.x[k]),
+                                   np.asarray(rb.x[k]), atol=1e-3)
+
+
+def test_fused_spm_alpha_overrides(spm_setup):
+    """Per-lane alpha overrides reach the kernel's threshold and factor."""
+    model, gs = spm_setup
+    B = gs.shape[0]
+    alphas = np.linspace(5e-4, 5e-3, B)
+    fs = FusedSpMSolver(model, tile_b=2)
+    rf = fs.solve({(0, "y"): gs, (1, "alpha"): alphas}, niter=80, mu0=0.1)
+    rb = BatchedSolver(model).solve(
+        {(0, "y"): gs, (1, "alpha"): alphas}, niter=80, mu0=0.1,
+        dtype=jnp.float32)
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(rf.x[k]),
+                                   np.asarray(rb.x[k]), atol=1e-3)
+
+
+def test_fused_spm_rejects_wrong_structure():
+    from admmsolver_tpu import (L1Regularizer, LeastSquares, Model,
+                                identity)
+
+    rng = np.random.RandomState(2)
+    A = rng.randn(6, 8)
+    m2 = Model([LeastSquares(1.0, A, rng.randn(6)),
+                L1Regularizer(0.1, 8)],
+               [(1, 0, identity(8), identity(8))])
+    with pytest.raises(AssertionError):
+        FusedSpMSolver(m2)
