@@ -41,6 +41,18 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_two_block_chunk", "fused_spm_chunk"]
 
 
+def _i32(v):
+    """Index-map components as int32.
+
+    Under ``jax_enable_x64`` a plain-int index map traces to i64 values,
+    which Mosaic cannot legalize ("failed to legalize operation
+    'func.return' ... (i64, i64)"); pin every component to int32.
+    """
+    if isinstance(v, int):
+        return np.int32(v)
+    return jnp.asarray(v, jnp.int32)
+
+
 def _iteration_body(U, Ut, dinv, acy, mu, thr, prox: str, thin: bool,
                     carry):
     x0, x1, h, _ = carry
@@ -128,15 +140,15 @@ def fused_two_block_chunk(U, Ut, dinv, acy, mu, thr, x0, x1, h,
         f"N={N}, R={R} must be multiples of 128 for the compiled TPU kernel"
     grid = (B // tile_b,)
 
-    basis = pl.BlockSpec((N, R), lambda i: (0, 0),
+    basis = pl.BlockSpec((N, R), lambda i: (_i32(0), _i32(0)),
                          memory_space=pltpu.VMEM)
-    basis_t = pl.BlockSpec((R, N), lambda i: (0, 0),
+    basis_t = pl.BlockSpec((R, N), lambda i: (_i32(0), _i32(0)),
                            memory_space=pltpu.VMEM)
-    lane_mat = pl.BlockSpec((tile_b, N), lambda i: (i, 0),
+    lane_mat = pl.BlockSpec((tile_b, N), lambda i: (_i32(i), _i32(0)),
                             memory_space=pltpu.VMEM)
-    lane_spec = pl.BlockSpec((tile_b, R), lambda i: (i, 0),
+    lane_spec = pl.BlockSpec((tile_b, R), lambda i: (_i32(i), _i32(0)),
                              memory_space=pltpu.VMEM)
-    lane_scalar = pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+    lane_scalar = pl.BlockSpec((tile_b, 1), lambda i: (_i32(i), _i32(0)),
                                memory_space=pltpu.VMEM)
 
     out_shape = [
@@ -276,9 +288,11 @@ def fused_spm_chunk(Pt, P, M, b2, scal, x0, x1, x2, h10, h20,
     assert M.shape == (nl_pad * nl_pad, B), (M.shape, nl_pad, B)
     grid = (B // tile_b,)
 
-    shared = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+    shared = lambda shape: pl.BlockSpec(shape,
+                                        lambda i: (_i32(0), _i32(0)),
                                         memory_space=pltpu.VMEM)
-    lane = lambda f: pl.BlockSpec((f, tile_b), lambda i: (0, i),
+    lane = lambda f: pl.BlockSpec((f, tile_b),
+                                  lambda i: (_i32(0), _i32(i)),
                                   memory_space=pltpu.VMEM)
 
     out_shape = [

@@ -129,20 +129,21 @@ class ADMMPlan:
         ``functions`` optionally overrides the block objectives (the
         batched runtime passes per-instance clones).
         """
-        factors = []
-        for k, f in enumerate(functions or self.model.functions):
-            if not f.is_quadratic:
-                factors.append(())
-                continue
-            if self.mu_terms[k]:
-                mu_op = None
-                for p_idx, ece2 in self.mu_terms[k]:
-                    term = ece2 * mu[p_idx]
-                    mu_op = term if mu_op is None else add(mu_op, term)
-            else:
-                mu_op = ScaledIdentityMatrix(f.size_x, 0.0)
-            factors.append(f.make_factors(mu_op))
-        return tuple(factors)
+        with jax.named_scope("admm/refactor"):
+            factors = []
+            for k, f in enumerate(functions or self.model.functions):
+                if not f.is_quadratic:
+                    factors.append(())
+                    continue
+                if self.mu_terms[k]:
+                    mu_op = None
+                    for p_idx, ece2 in self.mu_terms[k]:
+                        term = ece2 * mu[p_idx]
+                        mu_op = term if mu_op is None else add(mu_op, term)
+                else:
+                    mu_op = ScaledIdentityMatrix(f.size_x, 0.0)
+                factors.append(f.make_factors(mu_op))
+            return tuple(factors)
 
     def mu_diag(self, k: int, mu):
         """Effective diagonal penalty for block k (objectivefunc.py:296-310)."""
@@ -163,37 +164,43 @@ class ADMMPlan:
         """
         x_new = list(x)
         for k, f in enumerate(functions or self.model.functions):
-            terms = self.hk_terms[k]
-            if terms:
-                hk = None
-                for p_idx, sign, EikH, EcE_ki, i in terms:
-                    # Gauss–Seidel: partners i<k already updated this sweep.
-                    xi = x_new[i]
-                    t = sign * (EikH @ h[p_idx]) - mu[p_idx] * (EcE_ki @ xi)
-                    hk = t if hk is None else hk + t
-            else:
-                hk = jnp.zeros(f.size_x, dtype=x[k].dtype)
+            # named scopes label the per-block prox phases in jax.profiler
+            # traces (utils.telemetry.trace) — free at runtime.
+            with jax.named_scope(f"admm/block{k}_{type(f).__name__}"):
+                terms = self.hk_terms[k]
+                if terms:
+                    hk = None
+                    for p_idx, sign, EikH, EcE_ki, i in terms:
+                        # Gauss–Seidel: partners i<k already updated this
+                        # sweep.
+                        xi = x_new[i]
+                        t = sign * (EikH @ h[p_idx]) \
+                            - mu[p_idx] * (EcE_ki @ xi)
+                        hk = t if hk is None else hk + t
+                else:
+                    hk = jnp.zeros(f.size_x, dtype=x[k].dtype)
 
-            if f.is_quadratic:
-                xk = f.prox_with_factors(factors[k], hk)
-            elif f.needs_diagonal_mu:
-                xk = f.prox_diag(hk, self.mu_diag(k, mu))
-            else:
-                xk = f.solve(hk, None)
-            x_new[k] = jnp.asarray(xk, dtype=x[k].dtype)
+                if f.is_quadratic:
+                    xk = f.prox_with_factors(factors[k], hk)
+                elif f.needs_diagonal_mu:
+                    xk = f.prox_diag(hk, self.mu_diag(k, mu))
+                else:
+                    xk = f.solve(hk, None)
+                x_new[k] = jnp.asarray(xk, dtype=x[k].dtype)
 
         # Shared per-pair products: p1 = E_ij x_j, p2 = E_ji x_i.
-        p1s, p2s = [], []
-        for idx, (i, j) in enumerate(self.pairs):
-            p1s.append(self.E_ij[idx] @ x_new[j])
-            p2s.append(self.E_ji[idx] @ x_new[i])
+        with jax.named_scope("admm/dual_ascent"):
+            p1s, p2s = [], []
+            for idx, (i, j) in enumerate(self.pairs):
+                p1s.append(self.E_ij[idx] @ x_new[j])
+                p2s.append(self.E_ji[idx] @ x_new[i])
 
-        h_new = list(h)
-        if update_h:
-            for idx in range(self.npairs):
-                # h[i,j] += mu * (E[j,i] x_i - E[i,j] x_j)
-                # (optimizer.py:334-341)
-                h_new[idx] = h[idx] + mu[idx] * (p2s[idx] - p1s[idx])
+            h_new = list(h)
+            if update_h:
+                for idx in range(self.npairs):
+                    # h[i,j] += mu * (E[j,i] x_i - E[i,j] x_j)
+                    # (optimizer.py:334-341)
+                    h_new[idx] = h[idx] + mu[idx] * (p2s[idx] - p1s[idx])
 
         return tuple(x_new), tuple(h_new), (p1s, p2s)
 
@@ -213,20 +220,22 @@ class ADMMPlan:
             p1s, p2s = pair_products
 
         primal_norms, dual_norms, convs = [], [], []
-        for idx, (i, j) in enumerate(self.pairs):
-            p1, p2 = p1s[idx], p2s[idx]
-            d_primal = p1 - p2
-            # dual residual: mu * E[j,i] @ E[i,j] @ (x_j - x_j_old)
-            d_dual = mu[idx] * (self.E_ji[idx] @ (
-                self.E_ij[idx] @ (x_new[j] - x_old[j])))
-            dual1 = mu[idx] * (self.E_ji[idx] @ p1)
-            dual2 = dual1 - d_dual
-            pn = _norm(d_primal)
-            dn = _norm(d_dual)
-            primal_norms.append(pn)
-            dual_norms.append(dn)
-            convs.append((pn / jnp.maximum(_norm(p1), _norm(p2)),
-                          dn / jnp.maximum(_norm(dual1), _norm(dual2))))
+        with jax.named_scope("admm/residuals"):
+            for idx, (i, j) in enumerate(self.pairs):
+                p1, p2 = p1s[idx], p2s[idx]
+                d_primal = p1 - p2
+                # dual residual: mu * E[j,i] @ E[i,j] @ (x_j - x_j_old)
+                d_dual = mu[idx] * (self.E_ji[idx] @ (
+                    self.E_ij[idx] @ (x_new[j] - x_old[j])))
+                dual1 = mu[idx] * (self.E_ji[idx] @ p1)
+                dual2 = dual1 - d_dual
+                pn = _norm(d_primal)
+                dn = _norm(d_dual)
+                primal_norms.append(pn)
+                dual_norms.append(dn)
+                convs.append((pn / jnp.maximum(_norm(p1), _norm(p2)),
+                              dn / jnp.maximum(_norm(dual1),
+                                               _norm(dual2))))
         return primal_norms, dual_norms, convs
 
     def updated_mu(self, mu, primal_norms, dual_norms,

@@ -21,7 +21,40 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["trace", "convergence_report", "check_finite_state",
-           "debug_nans"]
+           "debug_nans", "timed_solve"]
+
+
+def timed_solve(solve, *, instances: int = 1, warmup: bool = True,
+                repeats: int = 1) -> dict:
+    """Run ``solve()`` and emit a throughput record.
+
+    ``solve`` returns a BatchResult-like object with ``.x`` (blocked on
+    for accurate device timing) and ``.iterations``.  With ``warmup``,
+    one unmeasured call absorbs compilation (identical-signature warmup,
+    the only reliable pattern through slow remote compilers).  Returns
+    ``{"seconds", "iterations_total", "instance_iters_per_s", "result"}``
+    — the SURVEY §5 iterations/s emitter.
+    """
+    import time
+
+    import jax
+
+    if warmup:
+        r = solve()
+        jax.block_until_ready(r.x)
+    times = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        r = solve()
+        jax.block_until_ready(r.x)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    iters = int(np.sum(np.asarray(r.iterations))) \
+        if hasattr(r, "iterations") else None
+    out = {"seconds": dt, "iterations_total": iters, "result": r}
+    if iters:
+        out["instance_iters_per_s"] = iters / dt
+    return out
 
 
 @contextlib.contextmanager

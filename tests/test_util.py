@@ -26,3 +26,46 @@ def test_smooth_regularizer_coeff():
 
 def test_norm():
     assert np.isclose(norm(np.array([3.0, 4.0])), 5.0)
+
+
+def test_trace_writes_profile(tmp_path):
+    """utils.telemetry.trace produces an xprof trace directory with
+    events (the SURVEY §5 tracing hook; named scopes in optimizer.py
+    label the phases)."""
+    import jax.numpy as jnp
+
+    from admmsolver_tpu import (L1Regularizer, LeastSquares, Model,
+                                SimpleOptimizer, identity)
+    from admmsolver_tpu.utils.telemetry import trace
+
+    rng = np.random.RandomState(0)
+    A = rng.randn(6, 12)
+    m = Model([LeastSquares(1.0, A, rng.randn(6)),
+               L1Regularizer(0.1, 12)],
+              [(1, 0, identity(12), identity(12))])
+    logdir = str(tmp_path / "trace")
+    with trace(logdir):
+        o = SimpleOptimizer(m)
+        o.solve(5, rtol=0)
+    import glob
+    files = glob.glob(logdir + "/**/*", recursive=True)
+    assert any(f.endswith((".pb", ".json.gz", ".trace.json.gz"))
+               or "xplane" in f for f in files), files
+
+
+def test_timed_solve_emits_throughput():
+    from admmsolver_tpu import L1Regularizer, LeastSquares, Model, identity
+    from admmsolver_tpu.parallel import BatchedSolver
+    from admmsolver_tpu.utils.telemetry import timed_solve
+
+    rng = np.random.RandomState(1)
+    A = rng.randn(6, 12)
+    ys = rng.randn(4, 6)
+    bs = BatchedSolver(Model(
+        [LeastSquares(1.0, A, ys[0]), L1Regularizer(0.1, 12)],
+        [(1, 0, identity(12), identity(12))]))
+    rec = timed_solve(lambda: bs.solve({(0, "y"): ys}, niter=10, rtol=0,
+                                       record_residuals=False))
+    assert rec["iterations_total"] == 40
+    assert rec["instance_iters_per_s"] > 0
+    assert rec["seconds"] > 0
