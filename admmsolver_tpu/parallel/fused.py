@@ -85,7 +85,6 @@ class FusedTwoBlockSolver:
         self.model = model
         self.f0 = f0
         self.tile_b = int(tile_b)
-        self._step_cache: Dict[int, object] = {}
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = bool(interpret)
@@ -124,17 +123,6 @@ class FusedTwoBlockSolver:
         assert self.N % 128 == 0 or self.interpret, (
             f"N={self.N} must be a multiple of 128 on TPU; pad the problem "
             "or use BatchedSolver")
-
-    def _make_step(self, n_iters: int):
-        """One compiled chunk step: kernel iterations + residuals +
-        penalty update.  Cached per chunk length on the instance (a
-        method-level lru_cache would pin the solver process-wide)."""
-        cached = self._step_cache.get(n_iters)
-        if cached is not None:
-            return cached
-        step = self._build_step(n_iters)
-        self._step_cache[n_iters] = step
-        return step
 
     def _build_step(self, n_iters: int):
         lam, U, Ut = self.lam, self.U, self.Ut
@@ -188,7 +176,77 @@ class FusedTwoBlockSolver:
             state = (x0n, x1n, hn, mu_out, done_new, count)
             return state, (pn, dn)
 
-        return jax.jit(step)
+        return step
+
+    def _compiled_run(self, niter: int, interval: int):
+        """Full solve as ONE jitted call: iteration-0 chunk, a
+        while_loop of full chunks with early exit, then a remainder
+        chunk.  Dispatching chunks from Python costs a host round-trip
+        per chunk (tens of ms through a remote tunnel) — with
+        interval=100 and niter=10000 that is ~100 dispatches of pure
+        latency, which is what made this path lose to the engine's
+        single-dispatch while_loop in round 1."""
+        cached = getattr(self, "_run_cache", None)
+        if cached is None:
+            cached = self._run_cache = {}
+        key = (niter, interval)
+        if key in cached:
+            return cached[key]
+
+        nfull = (niter - 1) // interval
+        nrem = (niter - 1) % interval
+        nchunks = 1 + nfull + (1 if nrem else 0)
+        step1 = self._build_step(1)
+        stepI = self._build_step(interval) if nfull else None
+        stepR = self._build_step(nrem) if nrem else None
+
+        def run(x0a, x1a, ha, mu, acy, alpha_ls, alpha1, tols, knobs):
+            B = mu.shape[0]
+            state = (x0a, x1a, ha, mu,
+                     jnp.zeros(B, dtype=bool), jnp.zeros(B, jnp.int32))
+            pbuf = jnp.full((nchunks, B), jnp.nan, jnp.float32)
+            dbuf = jnp.full((nchunks, B), jnp.nan, jnp.float32)
+
+            state, (pn, dn) = step1(state, acy, alpha_ls, alpha1,
+                                    tols, knobs, jnp.array(True))
+            pbuf = pbuf.at[0].set(pn)
+            dbuf = dbuf.at[0].set(dn)
+
+            if nfull:
+                def cond(c):
+                    k, state, pb, db = c
+                    return (k < nfull) & jnp.logical_not(
+                        jnp.all(state[4]))
+
+                def body(c):
+                    k, state, pb, db = c
+                    state, (pn, dn) = stepI(state, acy, alpha_ls,
+                                            alpha1, tols, knobs,
+                                            jnp.array(True))
+                    pb = pb.at[1 + k].set(pn)
+                    db = db.at[1 + k].set(dn)
+                    return (k + 1, state, pb, db)
+
+                _, state, pbuf, dbuf = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.array(0, jnp.int32), state, pbuf, dbuf))
+            if nrem:
+                def last(c):
+                    state, pb, db = c
+                    state, (pn, dn) = stepR(state, acy, alpha_ls,
+                                            alpha1, tols, knobs,
+                                            jnp.array(False))
+                    pb = pb.at[nchunks - 1].set(pn)
+                    db = db.at[nchunks - 1].set(dn)
+                    return (state, pb, db)
+
+                state, pbuf, dbuf = jax.lax.cond(
+                    jnp.all(state[4]), lambda c: c, last,
+                    (state, pbuf, dbuf))
+            return state, pbuf, dbuf
+
+        cached[key] = jax.jit(run)
+        return cached[key]
 
     def solve(self,
               overrides: Optional[Dict] = None,
@@ -258,30 +316,17 @@ class FusedTwoBlockSolver:
                 m = jnp.concatenate([m, jnp.broadcast_to(m[:1], (Bp - B,))])
             mu = m[:, None]
 
-        interval = int(interval_update_mu)
-
         tols = (jnp.float32(rtol), jnp.float32(atol))
         knobs = (jnp.float32(fact_incr), jnp.float32(th_change),
                  jnp.float32(max_mu))
-        state = (x0a, x1a, ha, mu,
-                 jnp.zeros(Bp, dtype=bool), jnp.zeros(Bp, jnp.int32))
 
         # reference schedule: penalty update after iterations 0, interval,
         # 2*interval, ... (optimizer.py:319-320); chunk boundaries align
-        # with it, remainder chunks skip the update.
-        pns, dns = [], []
-        it = 0
-        while it < niter:
-            n = 1 if it == 0 else min(interval, niter - it)
-            is_boundary = ((it + n - 1) % interval) == 0
-            step = self._make_step(n)
-            state, (pn, dn) = step(state, acy, alpha_ls, alpha1, tols,
-                                   knobs, jnp.asarray(is_boundary))
-            pns.append(pn)
-            dns.append(dn)
-            it += n
-            if bool(jnp.all(state[4])):
-                break
+        # with it, remainder chunks skip the update.  The whole chunk
+        # loop runs inside ONE jit (see _compiled_run).
+        run = self._compiled_run(int(niter), int(interval_update_mu))
+        state, pbuf, dbuf = run(x0a, x1a, ha, mu, acy, alpha_ls, alpha1,
+                                tols, knobs)
 
         x0f, x1f, hf, muf, done, count = state
         trim = lambda a: a[:B]
@@ -289,5 +334,5 @@ class FusedTwoBlockSolver:
             x0=trim(x0f), x1=trim(x1f), h=trim(hf), mu=trim(muf[:, 0]),
             iterations=trim(jnp.minimum(count, niter)),
             converged=trim(done),
-            primal_residual=trim(jnp.stack(pns, axis=1)),
-            dual_residual=trim(jnp.stack(dns, axis=1)))
+            primal_residual=pbuf.T[:B],
+            dual_residual=dbuf.T[:B])

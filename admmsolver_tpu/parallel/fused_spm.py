@@ -153,16 +153,14 @@ class FusedSpMSolver:
         return (Mp.transpose(1, 2, 0).reshape(nl_pad * nl_pad, B),
                 b2p.T)
 
-    # -- one compiled chunk step ----------------------------------------
-    def _step(self, n_iters: int):
-        cached = getattr(self, "_step_cache", None)
-        if cached is None:
-            cached = self._step_cache = {}
-        if n_iters in cached:
-            return cached[n_iters]
-
+    # -- one compiled full run -------------------------------------------
+    def _chunk_step(self, n_iters: int):
+        """Chunk step as a pure function: kernel iterations + residuals +
+        penalty update + refactor decision.  Called inside ONE jitted
+        run (dispatching chunks from Python costs a host round-trip per
+        chunk — through a remote-compile tunnel that latency alone loses
+        to the engine's single-dispatch while_loop)."""
         P, Pt = self.P, self.Pt
-        nl = self.nl
         tile_b, interpret = self.tile_b, self.interpret
 
         def norm_f(a):  # feature-major norms over the feature axis
@@ -226,8 +224,79 @@ class FusedSpMSolver:
             state = (x0n, x1n, x2n, h10n, h20n, mu_out, done_new, count)
             return state, (pn, dn)
 
-        cached[n_iters] = jax.jit(step)
-        return cached[n_iters]
+        return step
+
+    def _compiled_run(self, niter: int, interval: int):
+        """Full solve (iteration-0 chunk -> while_loop of full chunks ->
+        remainder chunk) as ONE jitted call with early exit."""
+        cached = getattr(self, "_run_cache", None)
+        if cached is None:
+            cached = self._run_cache = {}
+        key = (niter, interval)
+        if key in cached:
+            return cached[key]
+
+        # chunk schedule (reference optimizer.py:319-320): iteration 0,
+        # then full `interval` chunks, then a remainder; penalty updates
+        # fire on chunks whose LAST global iteration index is a multiple
+        # of `interval` (iteration 0 and every full chunk; a partial
+        # remainder never is).
+        nfull = (niter - 1) // interval
+        nrem = (niter - 1) % interval
+        nchunks = 1 + nfull + (1 if nrem else 0)
+        step1 = self._chunk_step(1)
+        stepI = self._chunk_step(interval) if nfull else None
+        stepR = self._chunk_step(nrem) if nrem else None
+
+        def run(acy, alpha_ls, alpha1, mu0v, tols, knobs):
+            B = mu0v.shape[0]
+            zf = lambda f: jnp.zeros((f, B), jnp.float32)
+            state = (zf(self.nl_pad), zf(self.nl_pad), zf(self.nw_pad),
+                     zf(self.nl_pad), zf(self.nw_pad), mu0v,
+                     jnp.zeros(B, dtype=bool), jnp.zeros(B, jnp.int32))
+            pbuf = jnp.full((nchunks, B), jnp.nan, jnp.float32)
+            dbuf = jnp.full((nchunks, B), jnp.nan, jnp.float32)
+
+            state, (pn, dn) = step1(state, acy, alpha_ls, alpha1,
+                                    tols, knobs, jnp.array(True))
+            pbuf = pbuf.at[0].set(pn)
+            dbuf = dbuf.at[0].set(dn)
+
+            if nfull:
+                def cond(c):
+                    k, state, pb, db = c
+                    return (k < nfull) & jnp.logical_not(
+                        jnp.all(state[6]))
+
+                def body(c):
+                    k, state, pb, db = c
+                    state, (pn, dn) = stepI(state, acy, alpha_ls,
+                                            alpha1, tols, knobs,
+                                            jnp.array(True))
+                    pb = pb.at[1 + k].set(pn)
+                    db = db.at[1 + k].set(dn)
+                    return (k + 1, state, pb, db)
+
+                _, state, pbuf, dbuf = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.array(0, jnp.int32), state, pbuf, dbuf))
+            if nrem:
+                def last(c):
+                    state, pb, db = c
+                    state, (pn, dn) = stepR(state, acy, alpha_ls,
+                                            alpha1, tols, knobs,
+                                            jnp.array(False))
+                    pb = pb.at[nchunks - 1].set(pn)
+                    db = db.at[nchunks - 1].set(dn)
+                    return (state, pb, db)
+
+                state, pbuf, dbuf = jax.lax.cond(
+                    jnp.all(state[6]), lambda c: c, last,
+                    (state, pbuf, dbuf))
+            return state, pbuf, dbuf
+
+        cached[key] = jax.jit(run)
+        return cached[key]
 
     def solve(self,
               overrides: Optional[Dict] = None,
@@ -274,30 +343,13 @@ class FusedSpMSolver:
         alpha_ls = batched_scalar((0, "alpha"), float(self.f0._alpha))
         alpha1 = batched_scalar((1, "alpha"), float(self.f1._alpha))
 
-        zf = lambda f: jnp.zeros((f, Bp), jnp.float32)
-        state = (zf(self.nl_pad), zf(self.nl_pad), zf(self.nw_pad),
-                 zf(self.nl_pad), zf(self.nw_pad),
-                 jnp.full((Bp, 2), float(mu0), jnp.float32),
-                 jnp.zeros(Bp, dtype=bool), jnp.zeros(Bp, jnp.int32))
-
+        mu0v = jnp.full((Bp, 2), float(mu0), jnp.float32)
         tols = (jnp.float32(rtol), jnp.float32(atol))
         knobs = (jnp.float32(fact_incr), jnp.float32(th_change),
                  jnp.float32(max_mu))
 
-        interval = int(interval_update_mu)
-        pns, dns = [], []
-        it = 0
-        while it < niter:
-            n = 1 if it == 0 else min(interval, niter - it)
-            is_boundary = ((it + n - 1) % interval) == 0
-            step = self._step(n)
-            state, (pn, dn) = step(state, acy, alpha_ls, alpha1, tols,
-                                   knobs, jnp.asarray(is_boundary))
-            pns.append(pn)
-            dns.append(dn)
-            it += n
-            if bool(jnp.all(state[6])):
-                break
+        run = self._compiled_run(int(niter), int(interval_update_mu))
+        state, pbuf, dbuf = run(acy, alpha_ls, alpha1, mu0v, tols, knobs)
 
         x0, x1, x2, h10, h20, mu, done, count = state
         trim_f = lambda a, f: a[:f, :B].T  # feature-major -> (B, f)
@@ -308,5 +360,5 @@ class FusedSpMSolver:
             mu=mu[:B],
             iterations=jnp.minimum(count[:B], niter),
             converged=done[:B],
-            primal_residual=jnp.stack(pns, axis=1)[:B],
-            dual_residual=jnp.stack(dns, axis=1)[:B])
+            primal_residual=pbuf.T[:B],
+            dual_residual=dbuf.T[:B])

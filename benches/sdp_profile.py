@@ -24,13 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def _timeit(fn, *args, repeats=5):
     import jax
+
+    # BatchResult is a plain dataclass, not a pytree: block on .x
+    block = lambda o: jax.block_until_ready(
+        o.x if hasattr(o, "x") else o)
     out = fn(*args)
-    jax.block_until_ready(out)
+    block(out)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        block(out)
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
