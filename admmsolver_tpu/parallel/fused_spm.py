@@ -362,3 +362,39 @@ class FusedSpMSolver:
             converged=done[:B],
             primal_residual=pbuf.T[:B],
             dual_residual=dbuf.T[:B])
+
+    def solve_mixed(self,
+                    overrides: Optional[Dict] = None,
+                    niter_low: int = 2000,
+                    niter: int = 2000,
+                    mu0=1.0,
+                    low_atol: float = 1e-5,
+                    **kw):
+        """Fused-f32 phase, then f64 engine polish from the warm state.
+
+        The VMEM-resident kernel burns down the bulk of the iterations
+        at f32 speed (~4x the f32 engine, ~25x the f64 engine); the
+        handed-off primal/dual/penalty state carries the progress
+        exactly, and the f64 :class:`BatchedSolver` phase finishes to
+        reference precision.  Returns the phase-2 BatchResult with
+        summed iteration counts.  Extra ``kw`` go to the f64 phase.
+        """
+        from .batch import BatchedSolver, BatchResult
+
+        p1 = self.solve(overrides, niter=niter_low, mu0=mu0,
+                        rtol=0.0, atol=low_atol)
+        bs = getattr(self, "_polish_solver", None)
+        if bs is None:
+            bs = self._polish_solver = BatchedSolver(
+                self.model, dtype=jnp.float64)
+        x0 = tuple(jnp.asarray(a, jnp.float64) for a in p1.x)
+        h0 = tuple(jnp.asarray(a, jnp.float64) for a in p1.h)
+        p2 = bs.solve(overrides, x0=x0, h0=h0,
+                      mu0=jnp.asarray(p1.mu, jnp.float64),
+                      niter=niter, **kw)
+        return BatchResult(
+            x=p2.x, h=p2.h, mu=p2.mu,
+            iterations=jnp.asarray(p1.iterations) + p2.iterations,
+            converged=p2.converged,
+            primal_residual=p2.primal_residual,
+            dual_residual=p2.dual_residual)

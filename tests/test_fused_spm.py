@@ -114,3 +114,24 @@ def test_fused_spm_rejects_wrong_structure():
                [(1, 0, identity(8), identity(8))])
     with pytest.raises(AssertionError):
         FusedSpMSolver(m2)
+
+
+def test_fused_spm_mixed_precision_handoff(spm_setup):
+    """Fused-f32 phase + f64 engine polish reaches the same solution as
+    a pure-f64 solve of the same total budget."""
+    import jax.numpy as jnp
+
+    model, gs = spm_setup
+    fs = FusedSpMSolver(model, tile_b=2)
+    mixed = fs.solve_mixed({(0, "y"): gs}, niter_low=600, niter=300,
+                           mu0=0.1, rtol=0.0, record_residuals=False)
+    pure = BatchedSolver(model, dtype=jnp.float64).solve(
+        {(0, "y"): gs}, niter=900, mu0=0.1, rtol=0.0,
+        record_residuals=False)
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(mixed.x[k]),
+                                   np.asarray(pure.x[k]), atol=2e-5)
+    assert mixed.x[0].dtype == jnp.float64
+    # the f32 phase may exit early at low_atol; total = phase1 + phase2
+    total = int(np.asarray(mixed.iterations)[0])
+    assert 300 < total <= 900, total
