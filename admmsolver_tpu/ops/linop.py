@@ -166,6 +166,135 @@ def inv_hpd_schur(d):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def _roundrobin_schedule(n: int):
+    """Circle-method round-robin: n-1 rounds of n/2 disjoint pairs
+    covering every (p, q) pair exactly once per sweep (n even)."""
+    arr = list(range(n))
+    rounds = []
+    for _ in range(n - 1):
+        rounds.append([(arr[i], arr[n - 1 - i]) for i in range(n // 2)])
+        arr = [arr[0], arr[-1]] + arr[1:-1]
+    return rounds
+
+
+def jacobi_eigh(a, sweeps: Optional[int] = None, sort: bool = True):
+    """Batched real-symmetric eigendecomposition, unrolled parallel-order
+    Jacobi.
+
+    Same medicine as :func:`inv_hpd_schur` (BENCH_NOTES lesson 7), aimed
+    at ``jnp.linalg.eigh``: XLA's TPU eigh is a fine batched Jacobi for a
+    standalone batch, but traced through ``vmap`` inside a solver
+    ``while_loop`` body it degrades ~1000× (measured: the SDP engine
+    spends 6-42 ms/iteration on a (256, 16, 8, 8) eigh that costs 2 µs
+    standalone — ``benches/sdp_ablate2.py``).  This version is
+    straight-line VPU code with a FIXED schedule — per sweep, n−1
+    round-robin rounds each rotating n/2 DISJOINT pivots simultaneously
+    as full-width elementwise math (no scatters, no data-dependent
+    control flow), unrolled at trace time — so it lowers identically
+    anywhere it is traced and under any batching.
+
+    ``a``: (..., n, n) real symmetric (the full matrix is read;
+    symmetrize first if needed).  Returns ``(evals, evecs)`` with
+    ``evals`` ascending per lane when ``sort=True`` (matching
+    ``jnp.linalg.eigh``) and ``a ≈ evecs @ diag(evals) @ evecs.T``.
+    Intended for n ≤ 16 (the trace unrolls ``sweeps·(n−1)`` rounds);
+    larger blocks should use ``jnp.linalg.eigh``.  Replaces the
+    reference's per-slice ``np.linalg.eigh`` loop
+    (``objectivefunc.py:320-327``) on the PSD prox path.
+    """
+    n = a.shape[-1]
+    if n == 1:
+        w = a[..., 0]
+        v = jnp.ones_like(a)
+        return w, v
+    odd = n % 2 == 1
+    if odd:
+        # Pad with a decoupled dummy dimension whose diagonal STRICTLY
+        # dominates every eigenvalue (1 + Σ|a|), so every rotation
+        # pairing the dummy sees a_pq = 0 and a_qq − a_pp > 0 →
+        # θ = atan2(0, +)/2 = 0 exactly: the dummy never mixes or swaps
+        # and is sliced back off as the literal last row/column.
+        big = 1.0 + jnp.sum(jnp.abs(a), axis=(-2, -1), keepdims=True)
+        zcol = jnp.zeros(a.shape[:-1] + (1,), dtype=a.dtype)
+        a = jnp.concatenate([a, zcol], axis=-1)
+        last = jnp.concatenate(
+            [jnp.zeros(a.shape[:-2] + (1, n), dtype=a.dtype),
+             jnp.broadcast_to(big, a.shape[:-2] + (1, 1))], axis=-1)
+        a = jnp.concatenate([a, last], axis=-2)
+        n += 1
+    if sweeps is None:
+        # quadratically convergent after ~3 sweeps; validated to ~n*eps
+        # reconstruction error in tests/test_linop.py
+        sweeps = 8 if n <= 8 else 10
+    m = n // 2
+    v = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+
+    # Trace-time permutation bookkeeping: `order[i]` = original label at
+    # physical position i.  Each round permutes the basis so its pairs
+    # sit at positions (2i, 2i+1); V accumulates the permutations too,
+    # so no un-permute is needed at the end.
+    order = list(range(n))
+    for sweep in range(sweeps):
+        for pairs in _roundrobin_schedule(n):
+            desired = [lab for pq in pairs for lab in pq]
+            pos = {lab: i for i, lab in enumerate(order)}
+            perm = np.asarray([pos[lab] for lab in desired])
+            order = desired
+            a = jnp.take(jnp.take(a, perm, axis=-1), perm, axis=-2)
+            v = jnp.take(v, perm, axis=-1)
+
+            blk = a.reshape(a.shape[:-2] + (m, 2, m, 2))
+            d = jnp.diagonal(blk, axis1=-4, axis2=-2)  # (..., 2, 2, m)
+            app, aqq = d[..., 0, 0, :], d[..., 1, 1, :]
+            apq = d[..., 0, 1, :]
+            # θ zeroing a'pq: tan 2θ = 2 a_pq / (a_qq − a_pp); atan2 is
+            # branch-free and safe at a_pq = 0.  Fold to the INNER root
+            # |θ| ≤ π/4 (the zeroing angles form a π/2 family): large-
+            # angle roots act as diagonal swaps, which stall the
+            # parallel ordering in a permutation cycle instead of
+            # converging (classical Jacobi convergence needs |θ| ≤ π/4).
+            th = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)  # (..., m)
+            th = th - jnp.where(jnp.abs(th) > np.pi / 4,
+                                jnp.sign(th) * (np.pi / 2), 0.0)
+            c, s = jnp.cos(th), jnp.sin(th)
+
+            def rot_cols(x, c=c, s=s):
+                # x ← x @ blockdiag(G_i), G = [[c, s], [−s, c]]
+                xc = x.reshape(x.shape[:-1] + (m, 2))
+                cc = c[..., None, :]
+                ss = s[..., None, :]
+                x0, x1 = xc[..., 0], xc[..., 1]
+                return jnp.stack(
+                    [x0 * cc - x1 * ss, x0 * ss + x1 * cc],
+                    axis=-1).reshape(x.shape)
+
+            a = rot_cols(a)
+            # rows: same coefficients applied to row pairs
+            ar = a.reshape(a.shape[:-2] + (m, 2, n))
+            cc = c[..., :, None]
+            ss = s[..., :, None]
+            r0, r1 = ar[..., 0, :], ar[..., 1, :]
+            a = jnp.stack([r0 * cc - r1 * ss, r0 * ss + r1 * cc],
+                          axis=-2).reshape(a.shape[:-2] + (n, n))
+            v = rot_cols(v)
+
+    # physical positions hold permuted labels; restore original label
+    # order so evecs[i, :] corresponds to input coordinate i
+    inv = np.argsort(np.asarray(order))
+    a = jnp.take(jnp.take(a, inv, axis=-1), inv, axis=-2)
+    v = jnp.take(v, inv, axis=-1)
+    if odd:
+        n -= 1
+        a = a[..., :n, :n]
+        v = v[..., :n, :n]
+    w = jnp.diagonal(a, axis1=-2, axis2=-1)
+    if sort:
+        o = jnp.argsort(w, axis=-1)
+        w = jnp.take_along_axis(w, o, axis=-1)
+        v = jnp.take_along_axis(v, o[..., None, :], axis=-1)
+    return w, v
+
+
 class MatrixBase:
     """Abstract structured operator.
 

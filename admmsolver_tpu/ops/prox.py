@@ -47,7 +47,16 @@ def psd_project(x, shape, axis):
     lo = jnp.tril(x3, -1)
     eye = jnp.eye(x3.shape[-1], dtype=jnp.real(x3).dtype)
     herm = lo + lo.conj().swapaxes(-1, -2) + jnp.real(x3) * eye
-    evals, evecs = jnp.linalg.eigh(herm)
+    if not jnp.iscomplexobj(herm) and herm.shape[-1] <= 16:
+        # Straight-line unrolled Jacobi: XLA's eigh degrades ~1000x when
+        # traced inside a vmapped solver loop body (extra batch dims +
+        # nested while_loop; benches/sdp_ablate2.py) while this lowers
+        # identically anywhere.  Projection is sort-invariant.
+        from .linop import jacobi_eigh
+
+        evals, evecs = jacobi_eigh(herm, sort=False)
+    else:
+        evals, evecs = jnp.linalg.eigh(herm)
     evals = jnp.maximum(evals, 0.0)
     proj = jnp.einsum("kij,kj,klj->kil", evecs, evals, evecs.conj())
     return jnp.moveaxis(proj, 0, axis).ravel()

@@ -39,20 +39,24 @@ def main():
     emit = lambda **kw: print(json.dumps(kw), flush=True)
     emit(backend=jax.default_backend(), batch=Bk, k=k, inner=inner)
 
+    # flat (Bk, k, k) batch vs the engine's vmapped 4-D (B, rest, k, k)
+    # batch — XLA's TPU eigh may not flatten extra batch dims.
     for dtype in (jnp.float64, jnp.float32):
-        A = jnp.asarray(A0, dtype=dtype)
-        f = jax.jit(chain)
-        out = f(A)
-        jax.block_until_ready(out)
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(A))
-            times.append(time.perf_counter() - t0)
-        dt = float(np.median(times))
-        emit(op=f"eigh_psd_chain_{dtype.__name__}",
-             ms_per_call=round(1e3 * dt / inner, 4),
-             total_s=round(dt, 4))
+        for shp, tag in (((Bk, k, k), "flat"),
+                         ((Bk // 16, 16, k, k), "4d")):
+            A = jnp.asarray(A0.reshape(shp), dtype=dtype)
+            f = jax.jit(chain)
+            out = f(A)
+            jax.block_until_ready(out)
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f(A))
+                times.append(time.perf_counter() - t0)
+            dt = float(np.median(times))
+            emit(op=f"eigh_psd_chain_{tag}_{dtype.__name__}",
+                 ms_per_call=round(1e3 * dt / inner, 4),
+                 total_s=round(dt, 4))
 
 
 if __name__ == "__main__":

@@ -76,7 +76,8 @@ def main():
     emit = lambda **kw: print(json.dumps(kw), flush=True)
     emit(backend=jax.default_backend(), B=B, N=N, M=M, niter=niter)
 
-    for name in ("full", "nopsd", "nols"):
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    for name in (only or ("full", "nopsd", "nols")):
         model = variant(name)
         for dtype in (jnp.float64, jnp.float32):
             bs = BatchedSolver(model, dtype=dtype)

@@ -463,3 +463,75 @@ class TestInterleavedComplexDiagonal:
         op2 = jax.tree_util.tree_unflatten(treedef, leaves)
         np.testing.assert_allclose(np.asarray(op2.asmatrix()),
                                    np.asarray(op.asmatrix()))
+
+
+class TestJacobiEigh:
+    """Unrolled cyclic Jacobi vs LAPACK (the PSD-prox eigh replacement;
+    XLA's eigh degrades ~1000x under vmap inside solver loop bodies —
+    benches/sdp_ablate2.py)."""
+
+    def _sym(self, rng, b, n):
+        A = rng.randn(b, n, n)
+        return A + A.swapaxes(-1, -2)
+
+    def test_matches_lapack(self):
+        from admmsolver_tpu.ops.linop import jacobi_eigh
+
+        rng = np.random.RandomState(0)
+        for n in (2, 3, 5, 8, 16):
+            A = self._sym(rng, 32, n)
+            w, v = jacobi_eigh(jnp.asarray(A))
+            w0 = np.linalg.eigvalsh(A)
+            np.testing.assert_allclose(np.asarray(w), w0,
+                                       rtol=0, atol=1e-12)
+            V = np.asarray(v)
+            recon = np.einsum("bij,bj,blj->bil", V, np.asarray(w), V)
+            np.testing.assert_allclose(recon, A, rtol=0, atol=1e-12)
+            orth = np.einsum("bji,bjk->bik", V, V)
+            np.testing.assert_allclose(orth, np.broadcast_to(
+                np.eye(n), orth.shape), rtol=0, atol=1e-12)
+
+    def test_f32_and_multidim_batch(self):
+        from admmsolver_tpu.ops.linop import jacobi_eigh
+
+        rng = np.random.RandomState(1)
+        A = self._sym(rng, 24, 8).reshape(4, 6, 8, 8)
+        w, v = jacobi_eigh(jnp.asarray(A, jnp.float32))
+        w0 = np.linalg.eigvalsh(A)
+        scale = np.abs(w0).max()
+        np.testing.assert_allclose(np.asarray(w), w0,
+                                   rtol=0, atol=3e-5 * scale)
+        V = np.asarray(v, np.float64)
+        recon = np.einsum("...ij,...j,...lj->...il", V,
+                          np.asarray(w, np.float64), V)
+        np.testing.assert_allclose(recon, A, rtol=0, atol=3e-5 * scale)
+
+    def test_under_vmap_and_jit(self):
+        import jax
+
+        from admmsolver_tpu.ops.linop import jacobi_eigh
+
+        rng = np.random.RandomState(2)
+        A = self._sym(rng, 12, 4)
+        w_ref, _ = jacobi_eigh(jnp.asarray(A))
+        w_vm, _ = jax.jit(jax.vmap(lambda m: jacobi_eigh(m)))(
+            jnp.asarray(A))
+        np.testing.assert_allclose(np.asarray(w_vm), np.asarray(w_ref),
+                                   rtol=0, atol=1e-13)
+
+    def test_psd_project_uses_jacobi_matching_reference_semantics(self):
+        """psd_project (lower-triangle symmetrization) is unchanged by the
+        Jacobi swap: compare against the explicit LAPACK construction."""
+        from admmsolver_tpu.ops.prox import psd_project
+
+        rng = np.random.RandomState(3)
+        shape, axis = (6, 6, 5), 2
+        x = rng.randn(int(np.prod(shape)))
+        got = np.asarray(psd_project(jnp.asarray(x), shape, axis))
+        x3 = np.moveaxis(x.reshape(shape), axis, 0)
+        out = np.empty_like(x3)
+        for i, sl in enumerate(x3):
+            w, v = np.linalg.eigh(sl, UPLO="L")
+            out[i] = (v * np.maximum(w, 0.0)) @ v.T
+        want = np.moveaxis(out, 0, axis).ravel()
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
