@@ -202,7 +202,17 @@ def jacobi_eigh(a, sweeps: Optional[int] = None, sort: bool = True):
     reference's per-slice ``np.linalg.eigh`` loop
     (``objectivefunc.py:320-327``) on the PSD prox path.
     """
+    if jnp.iscomplexobj(a):
+        # The rotation angle below (arctan2) silently takes real parts;
+        # complex-Hermitian inputs need jnp.linalg.eigh.
+        raise TypeError("jacobi_eigh supports real symmetric input only; "
+                        "use jnp.linalg.eigh for complex Hermitian blocks")
     n = a.shape[-1]
+    if n > 16:
+        # The fixed sweep budget (and the trace unroll size) is validated
+        # only up to n=16 (tests/test_linop.py); larger blocks belong to
+        # jnp.linalg.eigh, which is batched-friendly standalone.
+        raise ValueError(f"jacobi_eigh is limited to n <= 16, got n={n}")
     if n == 1:
         w = a[..., 0]
         v = jnp.ones_like(a)

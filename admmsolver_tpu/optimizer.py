@@ -464,6 +464,25 @@ class SimpleOptimizer:
         """Per-pair penalties, ordered like ``Model.pairs``."""
         return self._mu
 
+    @property
+    def primal_residual_history(self) -> List[float]:
+        """Per-iteration absolute primal residuals recorded so far (the
+        reference exposes this as ``_primal_residual``,
+        ``optimizer.py:162,312-314``; read e.g. by ``spm.ipynb`` cell 14)."""
+        return list(self._primal_residual)
+
+    @property
+    def dual_residual_history(self) -> List[float]:
+        """Per-iteration absolute dual residuals recorded so far
+        (reference ``_dual_residual``, ``optimizer.py:163,312-314``)."""
+        return list(self._dual_residual)
+
+    @property
+    def iterations(self) -> int:
+        """Number of iterations executed across all ``solve`` calls
+        (length of the recorded residual histories)."""
+        return len(self._primal_residual)
+
     def __call__(self, x: Sequence) -> float:
         return float(np.sum([f(x_) for x_, f in
                              zip(x, self._model.functions)]))

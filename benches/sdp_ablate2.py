@@ -102,8 +102,9 @@ def main():
     # the explicit precision=HIGHEST request in _apply_B
     orig_matmul = jnp.matmul
 
-    def matmul_def(a, b, precision=None):
-        return orig_matmul(a, b)
+    def matmul_def(a, b, precision=None, **kwargs):
+        # drop only `precision`; forward everything else untouched
+        return orig_matmul(a, b, **kwargs)
 
     jnp.matmul = matmul_def
     try:

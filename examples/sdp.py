@@ -39,7 +39,7 @@ def main():
     x = np.asarray(opt.x[1]).reshape(shape)
     lam_min = np.linalg.eigvalsh(np.moveaxis(x, 2, 0)).min()
     err = np.abs(x - xtrue).max()
-    print(f"single:  {len(opt._primal_residual)} iterations, "
+    print(f"single:  {opt.iterations} iterations, "
           f"max err {err:.2e}, min eigenvalue {lam_min:+.1e}")
 
     # -- batch of noisy replicas in one compiled solve -------------------

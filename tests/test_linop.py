@@ -495,16 +495,35 @@ class TestJacobiEigh:
         from admmsolver_tpu.ops.linop import jacobi_eigh
 
         rng = np.random.RandomState(1)
-        A = self._sym(rng, 24, 8).reshape(4, 6, 8, 8)
-        w, v = jacobi_eigh(jnp.asarray(A, jnp.float32))
-        w0 = np.linalg.eigvalsh(A)
-        scale = np.abs(w0).max()
-        np.testing.assert_allclose(np.asarray(w), w0,
-                                   rtol=0, atol=3e-5 * scale)
-        V = np.asarray(v, np.float64)
-        recon = np.einsum("...ij,...j,...lj->...il", V,
-                          np.asarray(w, np.float64), V)
-        np.testing.assert_allclose(recon, A, rtol=0, atol=3e-5 * scale)
+        # n=8 with a multi-dim batch, and n=16 (the top of the supported
+        # envelope) — both must hold f32 accuracy at the fixed sweep
+        # budget.
+        for A in (self._sym(rng, 24, 8).reshape(4, 6, 8, 8),
+                  self._sym(rng, 16, 16)):
+            w, v = jacobi_eigh(jnp.asarray(A, jnp.float32))
+            w0 = np.linalg.eigvalsh(A)
+            scale = np.abs(w0).max()
+            np.testing.assert_allclose(np.asarray(w), w0,
+                                       rtol=0, atol=3e-5 * scale)
+            V = np.asarray(v, np.float64)
+            recon = np.einsum("...ij,...j,...lj->...il", V,
+                              np.asarray(w, np.float64), V)
+            np.testing.assert_allclose(recon, A, rtol=0,
+                                       atol=3e-5 * scale)
+
+    def test_rejects_complex_and_large_n(self):
+        import pytest
+
+        from admmsolver_tpu.ops.linop import jacobi_eigh
+
+        rng = np.random.RandomState(5)
+        H = rng.randn(2, 4, 4) + 1j * rng.randn(2, 4, 4)
+        H = H + H.conj().swapaxes(-1, -2)
+        with pytest.raises(TypeError):
+            jacobi_eigh(jnp.asarray(H))
+        big = self._sym(rng, 2, 17)
+        with pytest.raises(ValueError):
+            jacobi_eigh(jnp.asarray(big))
 
     def test_under_vmap_and_jit(self):
         import jax
