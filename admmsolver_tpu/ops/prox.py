@@ -55,8 +55,18 @@ def psd_project(x, shape, axis):
         from .linop import jacobi_eigh
 
         evals, evecs = jacobi_eigh(herm, sort=False)
+        evals = jnp.maximum(evals, 0.0)
+        # Rebuild V diag(w) V^T on the VPU as broadcast-multiply +
+        # reduce, NOT einsum/dot_general: batched tiny contractions
+        # lower to f64-emulated GEMM loops that cost ~100x more than
+        # the elementwise form (BENCH_NOTES lesson 6 — this one op was
+        # 7.7 of the 8.6 ms/iter of the f64 SDP engine).  The (K,n,n,n)
+        # intermediate is tiny for the n <= 16 blocks this path serves.
+        scaled = evecs * evals[..., None, :]            # (K, i, j)
+        proj = jnp.sum(scaled[..., :, None, :] * evecs[..., None, :, :],
+                       axis=-1)                         # (K, i, l)
     else:
         evals, evecs = jnp.linalg.eigh(herm)
-    evals = jnp.maximum(evals, 0.0)
-    proj = jnp.einsum("kij,kj,klj->kil", evecs, evals, evecs.conj())
+        evals = jnp.maximum(evals, 0.0)
+        proj = jnp.einsum("kij,kj,klj->kil", evecs, evals, evecs.conj())
     return jnp.moveaxis(proj, 0, axis).ravel()

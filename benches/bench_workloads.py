@@ -227,10 +227,24 @@ def bench_sdp(dtype):
     X = np.asarray(res.x[1], np.float64).reshape(B, k, k, rest)
     lam_min = np.linalg.eigvalsh(
         np.moveaxis(X, (1, 2), (-2, -1))).min()
+    ref = _ref_rate(lambda ref: _ref_sdp(ref, A, y, shape, 2), niter=20)
     _emit("sdp_psd_prox", B, niter, dt,
           {"min_eigenvalue_psd_block": round(float(lam_min), 9)},
-          ref_ips=_ref_rate(lambda ref: _ref_sdp(ref, A, y, shape, 2),
-                            niter=20))
+          ref_ips=ref)
+
+    # Mixed-precision recipe (the recommended SDP fast path, BENCH_NOTES
+    # lesson 12): 3/4 of the budget in f32 (native MXU speed), then an
+    # f64 polish continuing the same primal/dual/penalty state.  Matched
+    # iteration budget so the rate is comparable to pure f64 above.
+    resm, dtm = _time_solve(lambda: bs.solve_mixed(
+        ov, niter_low=3 * niter // 4, niter=niter - 3 * niter // 4,
+        rtol=0.0, low_rtol=0.0, record_residuals=False))
+    Xm = np.asarray(resm.x[1], np.float64).reshape(B, k, k, rest)
+    lam_min_m = np.linalg.eigvalsh(
+        np.moveaxis(Xm, (1, 2), (-2, -1))).min()
+    _emit("sdp_psd_prox_mixed", B, niter, dtm,
+          {"min_eigenvalue_psd_block": round(float(lam_min_m), 9)},
+          ref_ips=ref)
 
 
 def bench_lpath(dtype):

@@ -111,6 +111,9 @@ def main():
 
     def lam_min(res):
         X = np.asarray(res.x[1], np.float64).reshape(B, k, k, rest)
+        if not np.isfinite(X).all():
+            # eigvalsh raises on NaN/Inf; surface the real diagnosis
+            return float("nan")
         return float(np.linalg.eigvalsh(
             np.moveaxis(X, (1, 2), (-2, -1))).min())
 

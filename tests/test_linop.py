@@ -554,3 +554,25 @@ class TestJacobiEigh:
             out[i] = (v * np.maximum(w, 0.0)) @ v.T
         want = np.moveaxis(out, 0, axis).ravel()
         np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+    def test_psd_project_lowering_has_no_dot(self):
+        """Perf regression lock: the small-n f64 PSD projection must lower
+        without dot_general/dot ops.  The V diag(w) V^T rebuild used to be
+        an einsum whose batched tiny contraction lowered to an f64-emulated
+        GEMM loop on TPU costing ~2x the eigendecomposition itself
+        (BENCH_NOTES lesson 11); it is now a broadcast-multiply + lane
+        reduction on the VPU.  (Gathers from the Jacobi permutations stay:
+        replacing them with static slice-concat permutations measured
+        SLOWER on hardware — 3.9 -> 5.9 ms — and strided f64 slices
+        miscompiled to NaN through the TPU f64 emulation, round 3.)
+        """
+        import jax
+
+        from admmsolver_tpu.ops.prox import psd_project
+
+        shape, axis = (4, 4, 7), 2
+        x = jnp.zeros(int(np.prod(shape)), jnp.float64)
+        hlo = jax.jit(
+            lambda v: psd_project(v, shape, axis)
+        ).lower(x).as_text()
+        assert "dot_general" not in hlo and " dot(" not in hlo
