@@ -72,3 +72,39 @@ def test_f32_single_phase_accuracy():
     r = bs.solve({(0, "y"): ys}, niter=2000, dtype=jnp.float32, rtol=1e-6)
     err = np.abs(np.asarray(r.x[0], dtype=np.float64) - xt).max()
     assert err < 5e-2, err
+
+
+def test_mixed_sdp_preserves_psd_and_quality():
+    """The recommended SDP recipe (solve_mixed, BENCH_NOTES lesson 12):
+    the f32 phase must hand off through the eigh/Jacobi PSD prox without
+    losing feasibility, and the polished solution must match pure f64
+    fit quality.  Guards the psd_project fast path under both dtypes.
+    """
+    from admmsolver_tpu.models.applications import sdp_model
+
+    k, rest, B = 4, 6, 5
+    shape = (k, k, rest)
+    N = k * k * rest
+    M = N // 2
+    rng = np.random.RandomState(7)
+    A = rng.randn(M, N)
+    xt = np.zeros(shape)
+    for r_ in range(rest):
+        Q = rng.randn(k, k)
+        xt[:, :, r_] = Q @ Q.T / k
+    y = A @ xt.reshape(-1)
+    ys = y[None, :] + 1e-4 * rng.randn(B, M)
+    bs = BatchedSolver(sdp_model(A, y, shape, axis=2), dtype=jnp.float64)
+    ov = {(0, "y"): jnp.asarray(ys)}
+    rm = bs.solve_mixed(ov, niter_low=300, niter=100, rtol=0.0,
+                        low_rtol=0.0, record_residuals=False)
+    rf = bs.solve(ov, niter=400, rtol=0.0, record_residuals=False)
+    for res in (rm, rf):
+        X = np.asarray(res.x[1], np.float64).reshape(B, k, k, rest)
+        assert np.isfinite(X).all()
+        lam = np.linalg.eigvalsh(
+            np.moveaxis(X, (1, 2), (-2, -1))).min()
+        assert lam >= -1e-10, lam
+    fit_m = np.median(np.abs(np.asarray(rm.x[0]) @ A.T - ys))
+    fit_f = np.median(np.abs(np.asarray(rf.x[0]) @ A.T - ys))
+    assert fit_m <= fit_f * 1.05 + 1e-12, (fit_m, fit_f)
