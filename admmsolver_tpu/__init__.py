@@ -30,7 +30,9 @@ from .models.objectivefunc import (
     ConstrainedLeastSquares,
     L1Regularizer,
     L2Regularizer,
+    GroupL1Regularizer,
     NonNegativePenalty,
+    BoxProjectionPenalty,
     SemiPositiveDefinitePenalty,
 )
 from .models.problem import EqualityCondition, Model, Problem

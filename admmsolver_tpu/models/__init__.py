@@ -4,7 +4,9 @@ from .objectivefunc import (
     ConstrainedLeastSquares,
     L1Regularizer,
     L2Regularizer,
+    GroupL1Regularizer,
     NonNegativePenalty,
+    BoxProjectionPenalty,
     SemiPositiveDefinitePenalty,
 )
 from .problem import EqualityCondition, Model, Problem

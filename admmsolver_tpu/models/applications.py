@@ -15,6 +15,15 @@ constraint graph exactly like the reference's demo notebooks:
 * :func:`synthetic_spm_data` — a self-contained stand-in for the
   ``sparse_ir`` basis the reference notebook downloads (an SVD of an
   analytic-continuation kernel), so the workload runs hermetically.
+
+Additive model families beyond the reference's two notebooks (each a
+composition of the same block/coupling machinery):
+
+* :func:`tv_denoise_model` — 1-D total-variation denoising.
+* :func:`bounded_lsq_model` — box-constrained least squares.
+* :func:`group_lasso_model` — block-sparse (group-L1) recovery.
+* :func:`portfolio_model` — long-only mean-variance portfolio
+  (hard simplex equality + nonnegativity).
 """
 from __future__ import annotations
 
@@ -25,7 +34,9 @@ import numpy as np
 from ..ops.linop import DiagonalMatrix, MatrixBase, identity
 from ..utils.grids import smooth_regularizer_coeff
 from .objectivefunc import (
+    BoxProjectionPenalty,
     ConstrainedLeastSquares,
+    GroupL1Regularizer,
     L1Regularizer,
     L2Regularizer,
     LeastSquares,
@@ -40,6 +51,10 @@ __all__ = [
     "spm_model",
     "sdp_model",
     "synthetic_spm_data",
+    "tv_denoise_model",
+    "bounded_lsq_model",
+    "group_lasso_model",
+    "portfolio_model",
 ]
 
 
@@ -114,6 +129,79 @@ def sdp_model(A, y, shape: Tuple[int, int, int], axis: int,
         functions.append(L1Regularizer(alpha_l1, N))
         eqs.append((2, 0, identity(N), identity(N)))
     return Model(functions, eqs)
+
+
+def tv_denoise_model(y, lam: float) -> Model:
+    """1-D total-variation denoising:
+    ``min_x  0.5 ||x - y||² + lam |D x|_1`` with ``D`` the forward
+    difference operator (additive model family; composes the reference's
+    block types — LS data fit + L1 on an auxiliary block — with a
+    *non-identity* coupling ``D x = z``, the same machinery
+    ``spm_model`` uses for its ``prj_w`` coupling).
+    """
+    y = np.asarray(y)
+    assert y.ndim == 1
+    N = y.shape[0]
+    assert N >= 2
+    D = np.zeros((N - 1, N))
+    idx = np.arange(N - 1)
+    D[idx, idx] = -1.0
+    D[idx, idx + 1] = 1.0
+    from ..ops.linop import ScaledIdentityMatrix
+
+    return Model(
+        [LeastSquares(0.5, ScaledIdentityMatrix(N, 1.0), y),
+         L1Regularizer(lam, N - 1)],
+        [(0, 1, D, identity(N - 1))])
+
+
+def bounded_lsq_model(A, y, lo=0.0, hi=1.0) -> Model:
+    """Box-constrained least squares:
+    ``min_x ||y - A x||²  s.t.  lo <= x <= hi`` elementwise (additive;
+    oracle = ``scipy.optimize.lsq_linear``).  2-block: LS + box
+    projection coupled by identity.
+    """
+    N = A.shape[1]
+    return Model(
+        [LeastSquares(1.0, A, y), BoxProjectionPenalty(N, lo, hi)],
+        [(1, 0, identity(N), identity(N))])
+
+
+def group_lasso_model(A, y, alpha: float, group_size: int) -> Model:
+    """Group lasso: ``min_x ||y - A x||² + alpha sum_g ||x_g||_2`` over
+    equal contiguous groups (additive; block-sparse recovery).  2-block:
+    LS + group soft-threshold coupled by identity (which guarantees the
+    blockwise-uniform penalty the closed-form group prox requires).
+    """
+    N = A.shape[1]
+    assert N % group_size == 0, (N, group_size)
+    return Model(
+        [LeastSquares(1.0, A, y),
+         GroupL1Regularizer(alpha, group_size, N // group_size)],
+        [(1, 0, identity(N), identity(N))])
+
+
+def portfolio_model(cov, returns, gamma: float = 1.0) -> Model:
+    """Long-only mean-variance portfolio (Markowitz):
+    ``min_x x†Σx − gamma·r†x  s.t.  1†x = 1,  x >= 0`` (additive;
+    exercises ConstrainedLeastSquares' hard equality + the nonneg
+    block).  The quadratic-plus-linear objective is expressed in the
+    ``alpha||y − A x||²`` form with ``A = Σ^{1/2}`` and
+    ``y = (gamma/2)·Σ^{-1/2} r`` (constant offset dropped).
+    """
+    cov = np.asarray(cov, dtype=np.float64)
+    returns = np.asarray(returns, dtype=np.float64)
+    N = returns.shape[0]
+    assert cov.shape == (N, N)
+    w, V = np.linalg.eigh((cov + cov.T) / 2.0)
+    assert w.min() > 0, "covariance must be positive definite"
+    sqrt_cov = (V * np.sqrt(w)) @ V.T
+    y = (gamma / 2.0) * ((V * (1.0 / np.sqrt(w))) @ V.T @ returns)
+    f0 = ConstrainedLeastSquares(
+        1.0, sqrt_cov, y, np.ones((1, N)), np.array([1.0]))
+    return Model(
+        [f0, NonNegativePenalty(N)],
+        [(1, 0, identity(N), identity(N))])
 
 
 def synthetic_spm_data(nl: int = 30, nw: int = 61, beta: float = 10.0,

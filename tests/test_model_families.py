@@ -1,0 +1,244 @@
+"""Additive model families: box-constrained LS, group lasso, TV
+denoising, portfolio.  Uses the reference's test idioms (SURVEY.md §4):
+prox oracles via scipy.optimize.minimize, solution oracles via
+closed-form / dedicated scipy solvers, and property checks.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.optimize import lsq_linear, minimize
+
+from admmsolver_tpu import (BoxProjectionPenalty, GroupL1Regularizer,
+                            SimpleOptimizer)
+from admmsolver_tpu.models.applications import (
+    bounded_lsq_model,
+    group_lasso_model,
+    portfolio_model,
+    tv_denoise_model,
+)
+from admmsolver_tpu.ops.linop import DiagonalMatrix
+from admmsolver_tpu.parallel import BatchedSolver
+
+
+# ---------------------------------------------------------------- prox
+# oracle idiom 1: argmin F(x) + 2 Re(h^T x) + x^T mu x via scipy
+
+def _prox_objective(F, h, mu_diag):
+    return lambda x: (F(x) + 2.0 * float(h @ x)
+                      + float(x @ (mu_diag * x)))
+
+
+def test_box_prox_matches_scipy():
+    rng = np.random.RandomState(0)
+    n = 6
+    h = rng.randn(n)
+    mu = np.abs(rng.randn(n)) + 0.5
+    lo, hi = -0.3, 0.7
+    f = BoxProjectionPenalty(n, lo, hi)
+    got = np.asarray(f.solve(jnp.asarray(h), DiagonalMatrix(mu)))
+    obj = _prox_objective(lambda x: 0.0, h, mu)
+    res = minimize(obj, np.clip(rng.randn(n), lo, hi),
+                   bounds=[(lo, hi)] * n, method="L-BFGS-B")
+    np.testing.assert_allclose(got, res.x, atol=1e-6)
+    assert got.min() >= lo - 1e-12 and got.max() <= hi + 1e-12
+
+
+def test_box_prox_vector_bounds():
+    rng = np.random.RandomState(1)
+    n = 5
+    lo = -np.abs(rng.randn(n))
+    hi = np.abs(rng.randn(n))
+    f = BoxProjectionPenalty(n, lo, hi)
+    h = rng.randn(n)
+    mu = np.full(n, 2.0)
+    got = np.asarray(f.solve(jnp.asarray(h), DiagonalMatrix(mu)))
+    want = np.clip(-h / mu, lo, hi)
+    np.testing.assert_allclose(got, want, atol=1e-14)
+
+
+def test_box_rejects_empty_box():
+    with pytest.raises(AssertionError):
+        BoxProjectionPenalty(3, 1.0, 0.0)
+
+
+def test_group_l1_prox_satisfies_kkt():
+    """Exact subgradient optimality of
+    argmin alpha sum_g |x_g| + 2 h^T x + mu |x|^2:
+    x_g != 0  =>  alpha x_g/|x_g| + 2 h_g + 2 mu x_g = 0;
+    x_g == 0  =>  |h_g| <= alpha/2.
+    (scipy's derivative-free minimizers are too loose an oracle for this
+    nonsmooth objective — the KKT conditions are exact.)
+    """
+    rng = np.random.RandomState(2)
+    gs, ng = 3, 5
+    n = gs * ng
+    # mix of strong and weak groups so both KKT branches fire
+    h = rng.randn(n) * np.repeat([2.0, 0.1, 2.0, 0.05, 1.0], gs)
+    mu = np.full(n, 1.3)  # blockwise-uniform (here globally uniform)
+    alpha = 0.8
+    f = GroupL1Regularizer(alpha, gs, ng)
+    got = np.asarray(f.solve(jnp.asarray(h), DiagonalMatrix(mu)))
+    active = zero = 0
+    for g in range(ng):
+        sl = slice(g * gs, (g + 1) * gs)
+        xg, hg = got[sl], h[sl]
+        nx = np.linalg.norm(xg)
+        if nx > 1e-12:
+            grad = alpha * xg / nx + 2 * hg + 2 * mu[sl] * xg
+            np.testing.assert_allclose(grad, 0.0, atol=1e-10)
+            active += 1
+        else:
+            assert np.linalg.norm(hg) <= alpha / 2 + 1e-12
+            zero += 1
+    assert active >= 1 and zero >= 1  # both branches exercised
+
+
+def test_group_l1_rejects_nonuniform_mu():
+    f = GroupL1Regularizer(1.0, 2, 2)
+    mu = DiagonalMatrix(np.array([1.0, 2.0, 1.0, 1.0]))
+    with pytest.raises(ValueError, match="blockwise-uniform"):
+        f.solve(jnp.zeros(4), mu)
+
+
+def test_group_l1_value():
+    f = GroupL1Regularizer(2.0, 2, 2)
+    x = np.array([3.0, 4.0, 0.0, 0.0])
+    assert np.isclose(f(x), 2.0 * 5.0)
+
+
+# ------------------------------------------------------------- solvers
+
+def test_bounded_lsq_matches_scipy():
+    rng = np.random.RandomState(3)
+    M, N = 20, 8
+    A = rng.randn(M, N)
+    y = rng.randn(M)
+    lo, hi = -0.25, 0.5
+    opt = SimpleOptimizer(bounded_lsq_model(A, y, lo, hi))
+    opt.solve(4000)
+    x = np.asarray(opt.x[1]).real  # the box block is feasible
+    ref = lsq_linear(A, y, bounds=(lo, hi))
+    np.testing.assert_allclose(x, ref.x, atol=1e-6)
+
+
+def test_bounded_lsq_batched_per_instance_bounds():
+    """BoxProjectionPenalty.batch_fields: per-instance boxes through the
+    batched runtime."""
+    rng = np.random.RandomState(4)
+    B, M, N = 3, 15, 6
+    A = rng.randn(M, N)
+    y = rng.randn(M)
+    his = np.array([0.2, 0.5, 1.0])
+    bs = BatchedSolver(bounded_lsq_model(A, y, 0.0, 1.0))
+    res = bs.solve({(1, "hi"): jnp.asarray(his)[:, None]
+                    * jnp.ones((B, N))},
+                   niter=3000, rtol=0.0)
+    for b in range(B):
+        xb = np.asarray(res.x[1][b])
+        assert xb.max() <= his[b] + 1e-8 and xb.min() >= -1e-8
+        ref = lsq_linear(A, y, bounds=(0.0, his[b]))
+        np.testing.assert_allclose(xb, ref.x, atol=1e-5)
+
+
+def test_group_lasso_recovers_block_support():
+    rng = np.random.RandomState(5)
+    gs, ng = 4, 10
+    N = gs * ng
+    M = 30
+    A = rng.randn(M, N)
+    xt = np.zeros(N)
+    for g in (2, 7):  # two active groups
+        xt[g * gs:(g + 1) * gs] = rng.randn(gs)
+    y = A @ xt
+    opt = SimpleOptimizer(group_lasso_model(A, y, alpha=0.05,
+                                            group_size=gs))
+    opt.solve(3000)
+    x = np.asarray(opt.x[1]).real.reshape(ng, gs)
+    norms = np.linalg.norm(x, axis=1)
+    # active groups recovered, inactive groups (block-)zero
+    assert norms[[2, 7]].min() > 0.5 * norms.max()
+    inactive = np.delete(np.arange(ng), [2, 7])
+    assert norms[inactive].max() < 1e-2 * norms.max()
+    np.testing.assert_allclose(x.ravel(), xt, atol=1e-2 * np.abs(xt).max())
+
+
+def test_group_lasso_large_alpha_zeroes_everything():
+    rng = np.random.RandomState(6)
+    A = rng.randn(10, 8)
+    y = 0.01 * rng.randn(10)
+    opt = SimpleOptimizer(group_lasso_model(A, y, alpha=1e3,
+                                            group_size=4))
+    opt.solve(500)
+    assert np.abs(np.asarray(opt.x[1])).max() < 1e-8
+
+
+def test_tv_denoise_large_lambda_is_constant():
+    rng = np.random.RandomState(7)
+    y = rng.randn(40)
+    opt = SimpleOptimizer(tv_denoise_model(y, lam=1e3))
+    opt.solve(3000)
+    x = np.asarray(opt.x[0]).real
+    np.testing.assert_allclose(x, np.full_like(x, y.mean()), atol=1e-4)
+
+
+def test_tv_denoise_satisfies_kkt():
+    """Exact optimality of min 0.5|x-y|^2 + lam |Dx|_1 via the dual
+    certificate: x - y + lam D^T s = 0 must admit s with |s| <= 1 and
+    s_i = sign((Dx)_i) wherever Dx != 0.  s is recovered from the
+    stationarity equation by a cumulative sum (D^T is bidiagonal), so
+    the check is exact — unlike derivative-free scipy minimizers, which
+    stall far from the optimum on this nonsmooth objective (our solver
+    beats their objective value; asserted below).
+    """
+    rng = np.random.RandomState(8)
+    n = 12
+    y = np.r_[np.zeros(n // 2), np.ones(n - n // 2)] + 0.1 * rng.randn(n)
+    lam = 0.2
+    opt = SimpleOptimizer(tv_denoise_model(y, lam))
+    opt.solve(6000)
+    x = np.asarray(opt.x[0]).real
+
+    # recover the dual variable: (D^T s)_i = (y - x)_i / lam
+    u = (y - x) / lam
+    # (D^T s)_1 = -s_1; (D^T s)_i = s_{i-1} - s_i; (D^T s)_n = s_{n-1}
+    s = -np.cumsum(u[:-1])
+    np.testing.assert_allclose(s[-1], u[-1], atol=1e-6)  # consistency
+    assert np.abs(s).max() <= 1.0 + 1e-6
+    dx = np.diff(x)
+    jump = np.abs(dx) > 1e-6
+    np.testing.assert_allclose(s[jump], np.sign(dx[jump]), atol=1e-6)
+
+    def obj(v):
+        return 0.5 * np.sum((v - y) ** 2) + lam * np.sum(
+            np.abs(np.diff(v)))
+
+    res = minimize(obj, y, method="Nelder-Mead",
+                   options={"maxiter": 50000, "xatol": 1e-10,
+                            "fatol": 1e-12})
+    assert obj(x) <= obj(res.x) + 1e-6
+
+
+def test_portfolio_simplex_and_oracle():
+    rng = np.random.RandomState(9)
+    N = 8
+    G = rng.randn(N, N)
+    cov = G @ G.T / N + 0.1 * np.eye(N)
+    returns = rng.randn(N)
+    gamma = 0.5
+    opt = SimpleOptimizer(portfolio_model(cov, returns, gamma))
+    opt.solve(6000)
+    x = np.asarray(opt.x[1]).real  # the nonneg block is feasible
+    assert x.min() >= -1e-9
+    # the CLS block satisfies the budget equality exactly
+    x0 = np.asarray(opt.x[0]).real
+    np.testing.assert_allclose(x0.sum(), 1.0, atol=1e-9)
+
+    def obj(v):
+        return float(v @ cov @ v - gamma * returns @ v)
+
+    cons = [{"type": "eq", "fun": lambda v: v.sum() - 1.0}]
+    ref = minimize(obj, np.full(N, 1.0 / N), method="SLSQP",
+                   bounds=[(0.0, None)] * N, constraints=cons,
+                   options={"maxiter": 1000, "ftol": 1e-14})
+    assert obj(x) <= obj(ref.x) + 1e-6
+    np.testing.assert_allclose(x, ref.x, atol=1e-4)
