@@ -158,12 +158,91 @@ class BatchedSolver:
         cached = self._compiled_cache.get(key)
         if cached is not None:
             return cached
-        run = self._build(cfg, ov_keys, record, chunked_checks,
-                          record_stride)
+        run = jax.jit(self._build(cfg, ov_keys, record, chunked_checks,
+                                  record_stride))
         if len(self._compiled_cache) >= 32:
             self._compiled_cache.pop(next(iter(self._compiled_cache)))
         self._compiled_cache[key] = run
         return run
+
+    def _compiled_path(self, cfg: ADMMConfig, ov_keys: tuple, record: bool,
+                       chunked_checks: bool, record_stride: int):
+        """One jitted program for an entire warm-started path: a
+        ``lax.scan`` over groups whose body is the same chunk schedule
+        :meth:`_build` compiles for a single batch.
+
+        Motivation (BENCH_NOTES lesson 9): each host-driven group costs a
+        ~30-40 ms dispatch through the axon tunnel; a 4-group λ-path spent
+        more time in dispatch than in math.  The scan body is traced once,
+        so compile time matches a single-group solve.
+        """
+        key = ("path", cfg, ov_keys, record, chunked_checks, record_stride)
+        cached = self._compiled_cache.get(key)
+        if cached is not None:
+            return cached
+        run = self._build(cfg, ov_keys, record, chunked_checks,
+                          record_stride)
+
+        def run_path(ov_stack, x, h, mu, tols):
+            def body(carry, ov_vals):
+                x, h, mu = carry
+                done0 = jnp.zeros(mu.shape[0], dtype=bool)
+                xg, hg, mug, done, count, pbuf, dbuf = run(
+                    ov_vals, x, h, mu, tols, done0)
+                # warm-start the next group from this group's LAST lane
+                # (nearest path value) — same rule as the host-level loop
+                bc = lambda a: jnp.broadcast_to(a[-1], a.shape)
+                nxt = (tuple(bc(a) for a in xg), tuple(bc(a) for a in hg),
+                       bc(mug))
+                return nxt, (xg, hg, mug, done, count, pbuf, dbuf)
+
+            _, outs = jax.lax.scan(body, (x, h, mu), ov_stack)
+            return outs
+
+        jitted = jax.jit(run_path)
+        if len(self._compiled_cache) >= 32:
+            self._compiled_cache.pop(next(iter(self._compiled_cache)))
+        self._compiled_cache[key] = jitted
+        return jitted
+
+    def _compiled_mixed(self, cfg_lo: ADMMConfig, cfg_hi: ADMMConfig,
+                        ov_keys: tuple, record: bool, chunked_checks: bool,
+                        record_stride: int, low_dtype):
+        """One jitted program for a two-phase mixed-precision solve: the
+        low-precision phase, the dtype promotion of the hand-off state,
+        and the full-precision phase run back-to-back on device.  Saves
+        a host round-trip (~30-40 ms through the axon tunnel, BENCH_NOTES
+        lesson 9) plus the host-side re-setup between phases."""
+        key = ("mixed", cfg_lo, cfg_hi, ov_keys, record, chunked_checks,
+               record_stride, jnp.dtype(low_dtype).name)
+        cached = self._compiled_cache.get(key)
+        if cached is not None:
+            return cached
+        run_lo = self._build(cfg_lo, ov_keys, record, chunked_checks,
+                             record_stride)
+        run_hi = self._build(cfg_hi, ov_keys, record, chunked_checks,
+                             record_stride)
+
+        def run_mixed(ov_vals, x, h, mu, tols_lo, tols_hi, done0):
+            lo = lambda t: tuple(_cast_like(low_dtype, a) for a in t)
+            x1, h1, mu1, done1, c1, pb1, db1 = run_lo(
+                lo(ov_vals), lo(x), lo(h), _cast_like(low_dtype, mu),
+                tols_lo, done0)
+            # promote the hand-off state to the full-precision phase's
+            # dtypes (taken from the incoming state arrays)
+            x2 = tuple(a.astype(o.dtype) for a, o in zip(x1, x))
+            h2 = tuple(a.astype(o.dtype) for a, o in zip(h1, h))
+            mu2 = mu1.astype(mu.dtype)
+            xh, hh, muh, doneh, c2, pb2, db2 = run_hi(
+                ov_vals, x2, h2, mu2, tols_hi,
+                jnp.zeros_like(done0))
+            return xh, hh, muh, doneh, c1 + c2, pb1, db1, pb2, db2
+
+        jitted = jax.jit(run_mixed)
+        if len(self._compiled_cache) >= 32:
+            self._compiled_cache.pop(next(iter(self._compiled_cache)))
+        self._compiled_cache[key] = jitted
+        return jitted
 
     def _build(self, cfg: ADMMConfig, ov_keys: tuple, record: bool,
                chunked_checks: bool, record_stride: int):
@@ -223,6 +302,8 @@ class BatchedSolver:
                 return 0
             return jnp.minimum(git // record_stride, hist - 1)
 
+        # NOTE: returned UNjitted so _compiled_path can scan over it;
+        # _compiled wraps it in jax.jit for the single-batch entry.
         def run(ov_vals, x, h, mu, tols, done0):
             B = mu.shape[0]
             # ov2: prologue-derived per-instance values, batched.
@@ -287,7 +368,7 @@ class BatchedSolver:
             x, xp, h, mu, _, done, count, pbuf, dbuf = carry
             return x, h, mu, done, count, pbuf, dbuf
 
-        return jax.jit(run)
+        return run
 
     def solve(self,
               overrides: Optional[Dict] = None,
@@ -435,6 +516,7 @@ class BatchedSolver:
                    values,
                    overrides: Optional[Dict] = None,
                    group_size: Optional[int] = None,
+                   fused: bool = True,
                    **kw) -> BatchResult:
         """Warm-started regularization-path continuation.
 
@@ -444,6 +526,15 @@ class BatchedSolver:
         paths this cuts iteration counts several-fold versus cold starts
         while keeping device-parallel batches.  Returns concatenated
         per-value results in input order.
+
+        ``fused=True`` (default) runs the whole group schedule inside ONE
+        jit (``lax.scan`` over groups) — host dispatch per solve costs
+        ~30-40 ms through the axon tunnel (BENCH_NOTES lesson 9), which
+        dominated multi-group paths driven from Python.  Results are
+        identical to the host-driven loop (``fused=False``): same chunk
+        schedule, same warm-start rule, same dtypes.  Falls back to the
+        loop when there is only one group or when the solver is sharded
+        (the per-group `solve` path owns the device placement logic).
         """
         values = np.asarray(values)
         n = values.shape[0]
@@ -460,6 +551,9 @@ class BatchedSolver:
                     "last solution); sort the values or pass "
                     "group_size=len(values)")
         overrides = dict(overrides or {})
+        if fused and group_size < n and self.sharding is None:
+            return self._solve_path_fused(field, values, overrides,
+                                          group_size, **kw)
         mu0_init = kw.pop("mu0", 1.0)
         parts = []
         prev = None
@@ -497,6 +591,110 @@ class BatchedSolver:
             converged=cat(lambda p: p.converged),
             primal_residual=cat(lambda p: p.primal_residual),
             dual_residual=cat(lambda p: p.dual_residual))
+
+    def _solve_path_fused(self,
+                          field: Tuple[int, str],
+                          values: np.ndarray,
+                          overrides: Dict,
+                          group_size: int,
+                          x0: Optional[Sequence] = None,
+                          h0: Optional[Sequence] = None,
+                          mu0=1.0,
+                          niter: int = 10000,
+                          interval_update_mu: int = 100,
+                          update_h: bool = True,
+                          rtol: float = 1e-12,
+                          atol: float = 0.0,
+                          fact_incr: float = 2.0,
+                          th_change: float = 10.0,
+                          max_mu: float = 1e3,
+                          record_residuals: Union[bool, int] = True,
+                          dtype=None,
+                          chunked_checks: bool = False) -> BatchResult:
+        """Whole-path driver: ``lax.scan`` over warm-started groups inside
+        one jit (see :meth:`solve_path`).  Semantics match the host loop
+        exactly; the last group is padded by repeating the final value
+        when ``len(values)`` is not a multiple of ``group_size`` (padding
+        lanes are trimmed from the result)."""
+        if niter <= 0:
+            raise ValueError("niter must be positive for batched solves")
+        if dtype is None:
+            dtype = self.dtype
+        else:
+            from ..backend import guard_complex
+
+            dtype = jnp.dtype(dtype)
+            guard_complex(dtype, "a batched solve")
+        n = values.shape[0]
+        gs = int(group_size)
+        G = (n + gs - 1) // gs
+        pad_n = G * gs - n
+        stack = lambda a: jnp.reshape(
+            jnp.concatenate([a, jnp.broadcast_to(a[-1:],
+                                                 (pad_n,) + a.shape[1:])])
+            if pad_n else a, (G, gs) + a.shape[1:])
+        ov = {k: _cast_like(dtype, np.asarray(v)) for k, v in
+              overrides.items()}
+        ov[field] = _cast_like(dtype, values)
+        for (k, f_), v in ov.items():
+            if v.shape[0] != n:
+                raise ValueError(
+                    f"solve_path override {(k, f_)} must be per-value "
+                    f"(length {n}), got leading axis {v.shape[0]}")
+        # batch-field validation (same checks the host loop gets via solve)
+        self._validate_overrides(ov)
+        ov_keys = tuple(sorted(ov.keys()))
+        ov_stack = tuple(stack(jnp.asarray(ov[k])) for k in ov_keys)
+
+        plan = self.plan
+        if x0 is not None:
+            x = tuple(jnp.asarray(x_, dtype=dtype) for x_ in x0)
+            assert all(x_.shape == (gs, sz)
+                       for x_, sz in zip(x, plan.block_sizes))
+        else:
+            x = tuple(jnp.zeros((gs, sz), dtype=dtype)
+                      for sz in plan.block_sizes)
+        if h0 is not None:
+            h = tuple(jnp.asarray(h_, dtype=dtype) for h_ in h0)
+            assert all(h_.shape == (gs, sz)
+                       for h_, sz in zip(h, plan.pair_sizes))
+        else:
+            h = tuple(jnp.zeros((gs, sz), dtype=dtype)
+                      for sz in plan.pair_sizes)
+        mu0 = _cast_like(dtype, mu0)
+        if mu0.ndim == 0:
+            mu = jnp.full((gs, plan.npairs), mu0)
+        elif mu0.ndim == 1:
+            mu = jnp.broadcast_to(mu0[:, None], (gs, plan.npairs))
+        else:
+            mu = jnp.asarray(mu0)
+            assert mu.shape == (gs, plan.npairs)
+
+        cfg = ADMMConfig(niter=int(niter),
+                         interval_update_mu=int(interval_update_mu),
+                         update_h=bool(update_h), max_mu=float(max_mu),
+                         fact_incr=float(fact_incr),
+                         th_change=float(th_change))
+        if record_residuals is True:
+            record, stride = True, 1
+        elif record_residuals is False:
+            record, stride = False, 1
+        else:
+            stride = int(record_residuals)
+            if stride < 1:
+                raise ValueError(
+                    f"record_residuals stride must be >= 1, got {stride}")
+            record = True
+        run = self._compiled_path(cfg, ov_keys, record,
+                                  bool(chunked_checks), stride)
+        xg, hg, mug, done, count, pbuf, dbuf = run(ov_stack, x, h, mu,
+                                                   (rtol, atol))
+        flat = lambda a: jnp.reshape(a, (G * gs,) + a.shape[2:])[:n]
+        return BatchResult(
+            x=tuple(flat(a) for a in xg),
+            h=tuple(flat(a) for a in hg),
+            mu=flat(mug), iterations=flat(count), converged=flat(done),
+            primal_residual=flat(pbuf), dual_residual=flat(dbuf))
 
     def solve_resumable(self,
                         path: str,
@@ -564,6 +762,7 @@ class BatchedSolver:
                     niter: int = 10000,
                     low_dtype="float32",
                     low_rtol: float = 1e-6,
+                    fused: bool = True,
                     **kw) -> BatchResult:
         """Two-phase mixed-precision solve (SURVEY.md §7 hard part #1).
 
@@ -574,7 +773,18 @@ class BatchedSolver:
         the requested tolerance.  ADMM is self-correcting — the dual state
         carries the low-precision phase's progress exactly — so the
         hand-off costs nothing in final accuracy.
+
+        ``fused=True`` (default) runs both phases and the dtype promotion
+        inside ONE jit, saving a host dispatch (~30-40 ms on the axon
+        tunnel) — the fixed hand-off cost that made mixed precision lose
+        below ~200 iterations (BENCH_NOTES lesson 12).  Results match the
+        two-dispatch driver (``fused=False``) exactly.  Sharded solvers
+        fall back to the two-dispatch path (``solve`` owns placement).
         """
+        if fused and self.sharding is None:
+            return self._solve_mixed_fused(
+                overrides, niter_low=niter_low, niter=niter,
+                low_dtype=low_dtype, low_rtol=low_rtol, **kw)
         p1 = self.solve(overrides, niter=niter_low, dtype=low_dtype,
                         rtol=low_rtol,
                         **{k: v for k, v in kw.items()
@@ -591,3 +801,84 @@ class BatchedSolver:
                 [p1.primal_residual, p2.primal_residual], axis=1),
             dual_residual=jnp.concatenate(
                 [p1.dual_residual, p2.dual_residual], axis=1))
+
+    def _solve_mixed_fused(self,
+                           overrides: Optional[Dict] = None,
+                           niter_low: int = 2000,
+                           niter: int = 10000,
+                           low_dtype="float32",
+                           low_rtol: float = 1e-6,
+                           batch_size: Optional[int] = None,
+                           x0: Optional[Sequence] = None,
+                           h0: Optional[Sequence] = None,
+                           mu0=1.0,
+                           interval_update_mu: int = 100,
+                           update_h: bool = True,
+                           rtol: float = 1e-12,
+                           atol: float = 0.0,
+                           fact_incr: float = 2.0,
+                           th_change: float = 10.0,
+                           max_mu: float = 1e3,
+                           record_residuals: Union[bool, int] = True,
+                           chunked_checks: bool = False) -> BatchResult:
+        """One-jit two-phase solve (see :meth:`solve_mixed`)."""
+        if niter_low <= 0 or niter <= 0:
+            raise ValueError("phase iteration budgets must be positive")
+        dtype = self.dtype
+        low_dtype = jnp.dtype(low_dtype)
+        overrides = dict(overrides or {})
+        B = self._validate_overrides(overrides)
+        if B is None:
+            B = batch_size
+        if B is None:
+            raise ValueError(
+                "batch size is undetermined: pass overrides with a leading "
+                "batch axis or batch_size=")
+
+        plan = self.plan
+        if x0 is not None:
+            x = tuple(jnp.asarray(x_, dtype=dtype) for x_ in x0)
+        else:
+            x = tuple(jnp.zeros((B, n), dtype=dtype)
+                      for n in plan.block_sizes)
+        if h0 is not None:
+            h = tuple(jnp.asarray(h_, dtype=dtype) for h_ in h0)
+        else:
+            h = tuple(jnp.zeros((B, s), dtype=dtype)
+                      for s in plan.pair_sizes)
+        mu0 = _cast_like(dtype, mu0)
+        if mu0.ndim == 0:
+            mu = jnp.full((B, plan.npairs), mu0)
+        elif mu0.ndim == 1:
+            mu = jnp.broadcast_to(mu0[:, None], (B, plan.npairs))
+        else:
+            mu = jnp.asarray(mu0)
+            assert mu.shape == (B, plan.npairs)
+        overrides = {k: _cast_like(dtype, v) for k, v in overrides.items()}
+        done0 = jnp.zeros(B, dtype=bool)
+
+        mk_cfg = lambda n: ADMMConfig(
+            niter=int(n), interval_update_mu=int(interval_update_mu),
+            update_h=bool(update_h), max_mu=float(max_mu),
+            fact_incr=float(fact_incr), th_change=float(th_change))
+        if record_residuals is True:
+            record, stride = True, 1
+        elif record_residuals is False:
+            record, stride = False, 1
+        else:
+            stride = int(record_residuals)
+            if stride < 1:
+                raise ValueError(
+                    f"record_residuals stride must be >= 1, got {stride}")
+            record = True
+        ov_keys = tuple(sorted(overrides.keys()))
+        ov_vals = tuple(jnp.asarray(overrides[k]) for k in ov_keys)
+        run = self._compiled_mixed(mk_cfg(niter_low), mk_cfg(niter),
+                                   ov_keys, record, bool(chunked_checks),
+                                   stride, low_dtype)
+        xh, hh, muh, done, count, pb1, db1, pb2, db2 = run(
+            ov_vals, x, h, mu, (low_rtol, 0.0), (rtol, atol), done0)
+        return BatchResult(
+            x=xh, h=hh, mu=muh, iterations=count, converged=done,
+            primal_residual=jnp.concatenate([pb1, pb2], axis=1),
+            dual_residual=jnp.concatenate([db1, db2], axis=1))

@@ -227,14 +227,20 @@ class FusedSpMSolver:
         return step
 
     def _compiled_run(self, niter: int, interval: int):
-        """Full solve (iteration-0 chunk -> while_loop of full chunks ->
-        remainder chunk) as ONE jitted call with early exit."""
         cached = getattr(self, "_run_cache", None)
         if cached is None:
             cached = self._run_cache = {}
         key = (niter, interval)
         if key in cached:
             return cached[key]
+        cached[key] = jax.jit(self._build_run(niter, interval))
+        return cached[key]
+
+    def _build_run(self, niter: int, interval: int):
+        """Full solve (iteration-0 chunk -> while_loop of full chunks ->
+        remainder chunk) as ONE traceable function with early exit
+        (unjitted so :meth:`solve_mixed` can fuse it with the f64 engine
+        polish in a single program)."""
 
         # chunk schedule (reference optimizer.py:319-320): iteration 0,
         # then full `interval` chunks, then a remainder; penalty updates
@@ -295,8 +301,7 @@ class FusedSpMSolver:
                     (state, pbuf, dbuf))
             return state, pbuf, dbuf
 
-        cached[key] = jax.jit(run)
-        return cached[key]
+        return run
 
     def solve(self,
               overrides: Optional[Dict] = None,
@@ -369,6 +374,7 @@ class FusedSpMSolver:
                     niter: int = 2000,
                     mu0=1.0,
                     low_atol: float = 1e-5,
+                    fused: bool = True,
                     **kw):
         """Fused-f32 phase, then f64 engine polish from the warm state.
 
@@ -378,15 +384,28 @@ class FusedSpMSolver:
         exactly, and the f64 :class:`BatchedSolver` phase finishes to
         reference precision.  Returns the phase-2 BatchResult with
         summed iteration counts.  Extra ``kw`` go to the f64 phase.
+
+        ``fused=True`` (default) runs the kernel phase, the dtype
+        promotion, and the engine polish inside ONE jit — the hand-off's
+        second host dispatch (~30-40 ms, BENCH_NOTES lesson 9) was ~10%
+        of the whole mixed solve at the BASELINE SpM scale.  Falls back
+        to the two-dispatch driver for kwargs the fused path doesn't
+        plumb (``x0``/``h0``/``dtype``).
         """
         from .batch import BatchedSolver, BatchResult
 
-        p1 = self.solve(overrides, niter=niter_low, mu0=mu0,
-                        rtol=0.0, atol=low_atol)
         bs = getattr(self, "_polish_solver", None)
         if bs is None:
             bs = self._polish_solver = BatchedSolver(
                 self.model, dtype=jnp.float64)
+        if fused and not (set(kw) - {
+                "interval_update_mu", "update_h", "rtol", "atol",
+                "fact_incr", "th_change", "max_mu", "record_residuals",
+                "chunked_checks"}):
+            return self._solve_mixed_fused(bs, overrides, niter_low,
+                                           niter, mu0, low_atol, **kw)
+        p1 = self.solve(overrides, niter=niter_low, mu0=mu0,
+                        rtol=0.0, atol=low_atol)
         x0 = tuple(jnp.asarray(a, jnp.float64) for a in p1.x)
         h0 = tuple(jnp.asarray(a, jnp.float64) for a in p1.h)
         p2 = bs.solve(overrides, x0=x0, h0=h0,
@@ -398,3 +417,109 @@ class FusedSpMSolver:
             converged=p2.converged,
             primal_residual=p2.primal_residual,
             dual_residual=p2.dual_residual)
+
+    def _solve_mixed_fused(self, bs, overrides, niter_low, niter, mu0,
+                           low_atol,
+                           interval_update_mu: int = 100,
+                           update_h: bool = True,
+                           rtol: float = 1e-12,
+                           atol: float = 0.0,
+                           fact_incr: float = 2.0,
+                           th_change: float = 10.0,
+                           max_mu: float = 1e3,
+                           record_residuals=True,
+                           chunked_checks: bool = False):
+        """One-jit kernel-phase + promotion + engine-polish composite
+        (see :meth:`solve_mixed`)."""
+        from ..config import ADMMConfig
+        from .batch import BatchResult, _cast_like
+
+        overrides = dict(overrides or {})
+        B = None
+        for v in overrides.values():
+            B = np.shape(v)[0]
+        if B is None:
+            raise ValueError("pass overrides with a leading batch axis")
+        Bp = ((B + self.tile_b - 1) // self.tile_b) * self.tile_b
+
+        # --- kernel-phase inputs (exactly as in :meth:`solve`) --------
+        def batched_scalar(key, default):
+            if key in overrides:
+                a = jnp.asarray(overrides[key], dtype=jnp.float32)
+            else:
+                a = jnp.full((B,), float(default), dtype=jnp.float32)
+            if Bp != B:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (Bp - B,))])
+            return a
+
+        ys = overrides.get((0, "y"))
+        if ys is not None:
+            acy = jnp.asarray(np.asarray(ys, np.float32)
+                              @ np.asarray(self.Ac).T)
+        else:
+            acy = jnp.broadcast_to(
+                jnp.asarray(np.asarray(self.f0._Acy, np.float32)),
+                (B, self.nl))
+        if Bp != B:
+            acy = jnp.concatenate(
+                [acy, jnp.broadcast_to(acy[:1], (Bp - B, self.nl))])
+        alpha_ls = batched_scalar((0, "alpha"), float(self.f0._alpha))
+        alpha1 = batched_scalar((1, "alpha"), float(self.f1._alpha))
+        mu0v = jnp.full((Bp, 2), float(mu0), jnp.float32)
+        tols_lo = (jnp.float32(0.0), jnp.float32(low_atol))
+        knobs = (jnp.float32(fact_incr), jnp.float32(th_change),
+                 jnp.float32(max_mu))
+
+        # --- engine-polish program ------------------------------------
+        ov_hi = {k: _cast_like(jnp.float64, v)
+                 for k, v in overrides.items()}
+        ov_keys = tuple(sorted(ov_hi.keys()))
+        ov_vals = tuple(jnp.asarray(ov_hi[k]) for k in ov_keys)
+        cfg = ADMMConfig(niter=int(niter),
+                         interval_update_mu=int(interval_update_mu),
+                         update_h=bool(update_h), max_mu=float(max_mu),
+                         fact_incr=float(fact_incr),
+                         th_change=float(th_change))
+        if record_residuals is True:
+            record, stride = True, 1
+        elif record_residuals is False:
+            record, stride = False, 1
+        else:
+            stride = int(record_residuals)
+            record = True
+
+        cache = getattr(self, "_mixed_cache", None)
+        if cache is None:
+            cache = self._mixed_cache = {}
+        ckey = (int(niter_low), cfg, ov_keys, record, stride,
+                bool(chunked_checks), B)
+        run_all = cache.get(ckey)
+        if run_all is None:
+            run_lo = self._build_run(int(niter_low),
+                                     int(interval_update_mu))
+            run_hi = bs._build(cfg, ov_keys, record,
+                               bool(chunked_checks), stride)
+            nl, nw = self.nl, self.nw
+
+            def composite(acy, alpha_ls, alpha1, mu0v, tols_lo, knobs,
+                          ov_vals, tols_hi):
+                state, _, _ = run_lo(acy, alpha_ls, alpha1, mu0v,
+                                     tols_lo, knobs)
+                x0_, x1_, x2_, h10, h20, mu, done, count = state
+                up = lambda a, f: a[:f, :B].T.astype(jnp.float64)
+                x = (up(x0_, nl), up(x1_, nl), up(x2_, nw))
+                h = (up(h10, nl), up(h20, nw))
+                xh, hh, muh, doneh, c2, pb2, db2 = run_hi(
+                    ov_vals, x, h, mu[:B].astype(jnp.float64), tols_hi,
+                    jnp.zeros(B, dtype=bool))
+                c1 = jnp.minimum(count[:B], niter_low)
+                return xh, hh, muh, doneh, c1 + c2, pb2, db2
+
+            run_all = cache[ckey] = jax.jit(composite)
+        xh, hh, muh, done, count, pbuf, dbuf = run_all(
+            acy, alpha_ls, alpha1, mu0v, tols_lo, knobs, ov_vals,
+            (rtol, atol))
+        return BatchResult(x=xh, h=hh, mu=muh, iterations=count,
+                           converged=done, primal_residual=pbuf,
+                           dual_residual=dbuf)

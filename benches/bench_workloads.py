@@ -190,14 +190,33 @@ def bench_spm(dtype):
         ov, mu0=0.1, niter=niter, rtol=0.0, record_residuals=False))
     rho_out = np.asarray(res.x[2], np.float64)
     sums = rho_out @ np.ones(rho_out.shape[1])
+    ref = _ref_rate(lambda r: _ref_spm(r, s, g, prj_sum, prj_w, 1e-4))
     _emit("spm_per_frequency", B, niter, dt,
           {"min_rho": round(float(rho_out.min()), 9),
            "median_sum_rule_dev": round(
                float(np.median(np.abs(
                    np.asarray(res.x[0], np.float64) @ np.asarray(prj_sum)
                    - 1.0))), 9)},
-          ref_ips=_ref_rate(
-              lambda ref: _ref_spm(ref, s, g, prj_sum, prj_w, 1e-4)))
+          ref_ips=ref)
+
+    # Fused Pallas fast path (BENCH_NOTES round 2: the regime where the
+    # VMEM-resident kernel beats XLA ~4x): f32 kernel burns 4/5 of the
+    # budget, then the f64 engine polishes from the warm primal/dual/
+    # penalty state to reference precision.
+    from admmsolver_tpu.parallel import FusedSpMSolver
+
+    fs = FusedSpMSolver(model, tile_b=256)
+    resf, dtf = _time_solve(lambda: fs.solve_mixed(
+        ov, niter_low=4 * niter // 5, niter=niter - 4 * niter // 5,
+        mu0=0.1, low_atol=0.0, rtol=0.0, record_residuals=False))
+    rho_f = np.asarray(resf.x[2], np.float64)
+    _emit("spm_fused_mixed", B, niter, dtf,
+          {"min_rho": round(float(rho_f.min()), 9),
+           "median_sum_rule_dev": round(
+               float(np.median(np.abs(
+                   np.asarray(resf.x[0], np.float64) @ np.asarray(prj_sum)
+                   - 1.0))), 9)},
+          ref_ips=ref)
 
 
 def bench_sdp(dtype):

@@ -378,3 +378,52 @@ def test_solve_path_requires_monotone_grid():
                   overrides={(0, "y"): np.broadcast_to(y, (4, M))},
                   group_size=2, niter=5, rtol=0,
                   record_residuals=False)
+
+
+def test_solve_path_fused_matches_loop():
+    """The one-jit scanned path driver (fused=True) reproduces the
+    host-driven group loop exactly — same chunk schedule, same
+    warm-start rule — including when len(values) is not a multiple of
+    group_size (last group padded by repeating the final value)."""
+    rng = np.random.RandomState(33)
+    M, N = 10, 24
+    A = rng.randn(M, N)
+    y = A @ np.concatenate([rng.randn(3), np.zeros(N - 3)])
+    bs = BatchedSolver(_bp_template(A, y))
+    for nlam in (12, 11):  # divisible and ragged group counts
+        lams = np.logspace(0.5, -2, nlam)
+        ys = np.broadcast_to(y, (nlam, M))
+        kw = dict(overrides={(0, "y"): ys}, group_size=4,
+                  niter=400, rtol=1e-9)
+        loop = bs.solve_path((1, "alpha"), lams, fused=False, **kw)
+        fused = bs.solve_path((1, "alpha"), lams, fused=True, **kw)
+        # nlam=12: identical group shapes → bit-exact in practice.
+        # nlam=11: the fused driver pads the last group (4 lanes vs the
+        # loop's 3), so XLA's reduction shapes differ → ~1e-15 diffs.
+        np.testing.assert_allclose(np.asarray(fused.x[0]),
+                                   np.asarray(loop.x[0]), atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(fused.iterations),
+                                      np.asarray(loop.iterations))
+        np.testing.assert_array_equal(np.asarray(fused.mu),
+                                      np.asarray(loop.mu))
+        # histories may differ by ~1 ulp (XLA fuses the iteration-0
+        # residual differently under the group scan); state is bit-exact
+        np.testing.assert_allclose(np.asarray(fused.primal_residual),
+                                   np.asarray(loop.primal_residual),
+                                   rtol=1e-12, atol=1e-12)
+        assert fused.x[0].shape == (nlam, N)
+
+
+def test_solve_path_fused_strided_recording():
+    rng = np.random.RandomState(34)
+    M, N = 8, 16
+    A = rng.randn(M, N)
+    y = rng.randn(M)
+    bs = BatchedSolver(_bp_template(A, y))
+    lams = np.logspace(0, -1, 8)
+    res = bs.solve_path((1, "alpha"), lams,
+                        overrides={(0, "y"): np.broadcast_to(y, (8, M))},
+                        group_size=4, niter=40, rtol=0,
+                        record_residuals=10)
+    assert res.primal_residual.shape == (8, 4)
+    assert np.isfinite(np.asarray(res.primal_residual)).all()

@@ -135,3 +135,24 @@ def test_fused_spm_mixed_precision_handoff(spm_setup):
     # the f32 phase may exit early at low_atol; total = phase1 + phase2
     total = int(np.asarray(mixed.iterations)[0])
     assert 300 < total <= 900, total
+
+
+def test_fused_spm_mixed_one_jit_matches_two_dispatch(spm_setup):
+    """The one-jit composite (kernel phase + promotion + engine polish)
+    reproduces the two-dispatch driver exactly."""
+    model, gs = spm_setup
+    fs = FusedSpMSolver(model, tile_b=2)
+    ov = {(0, "y"): gs}
+    kw = dict(niter_low=200, niter=100, mu0=0.1, rtol=0.0,
+              record_residuals=False)
+    two = fs.solve_mixed(ov, fused=False, **kw)
+    one = fs.solve_mixed(ov, fused=True, **kw)
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(one.x[k]),
+                                   np.asarray(two.x[k]),
+                                   rtol=1e-12, atol=1e-14)
+    np.testing.assert_array_equal(np.asarray(one.iterations),
+                                  np.asarray(two.iterations))
+    np.testing.assert_allclose(np.asarray(one.mu), np.asarray(two.mu),
+                               rtol=1e-12)
+    assert one.x[0].dtype == jnp.float64

@@ -108,3 +108,24 @@ def test_mixed_sdp_preserves_psd_and_quality():
     fit_m = np.median(np.abs(np.asarray(rm.x[0]) @ A.T - ys))
     fit_f = np.median(np.abs(np.asarray(rf.x[0]) @ A.T - ys))
     assert fit_m <= fit_f * 1.05 + 1e-12, (fit_m, fit_f)
+
+
+def test_fused_mixed_matches_two_dispatch():
+    """The one-jit mixed driver (fused=True) reproduces the two-dispatch
+    phase loop exactly: same f32 phase, same promotion, same f64 polish."""
+    A, ys, _ = _setup(seed=5)
+    bs = BatchedSolver(_template(A, ys[0]), dtype=jnp.float64)
+    kw = dict(niter_low=200, niter=300, rtol=1e-10, low_rtol=1e-5,
+              mu0=0.5)
+    two = bs.solve_mixed({(0, "y"): ys}, fused=False, **kw)
+    one = bs.solve_mixed({(0, "y"): ys}, fused=True, **kw)
+    np.testing.assert_array_equal(np.asarray(one.x[0]),
+                                  np.asarray(two.x[0]))
+    np.testing.assert_array_equal(np.asarray(one.mu), np.asarray(two.mu))
+    np.testing.assert_array_equal(np.asarray(one.iterations),
+                                  np.asarray(two.iterations))
+    a, b = np.asarray(one.primal_residual), np.asarray(two.primal_residual)
+    assert a.shape == b.shape
+    both = np.isfinite(a) & np.isfinite(b)
+    np.testing.assert_allclose(a[both], b[both], rtol=1e-6)
+    assert (np.isfinite(a) == np.isfinite(b)).all()
