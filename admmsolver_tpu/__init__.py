@@ -32,6 +32,7 @@ from .models.objectivefunc import (
     L2Regularizer,
     GroupL1Regularizer,
     NonNegativePenalty,
+    NuclearNormPenalty,
     BoxProjectionPenalty,
     SemiPositiveDefinitePenalty,
 )

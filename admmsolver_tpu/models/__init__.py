@@ -6,6 +6,7 @@ from .objectivefunc import (
     L2Regularizer,
     GroupL1Regularizer,
     NonNegativePenalty,
+    NuclearNormPenalty,
     BoxProjectionPenalty,
     SemiPositiveDefinitePenalty,
 )

@@ -24,6 +24,8 @@ composition of the same block/coupling machinery):
 * :func:`group_lasso_model` — block-sparse (group-L1) recovery.
 * :func:`portfolio_model` — long-only mean-variance portfolio
   (hard simplex equality + nonnegativity).
+* :func:`rpca_model` — robust PCA (nuclear-norm low-rank + sparse
+  residual via the offset-L1 form).
 """
 from __future__ import annotations
 
@@ -41,6 +43,7 @@ from .objectivefunc import (
     L2Regularizer,
     LeastSquares,
     NonNegativePenalty,
+    NuclearNormPenalty,
     SemiPositiveDefinitePenalty,
 )
 from .problem import Model
@@ -55,6 +58,7 @@ __all__ = [
     "bounded_lsq_model",
     "group_lasso_model",
     "portfolio_model",
+    "rpca_model",
 ]
 
 
@@ -179,6 +183,31 @@ def group_lasso_model(A, y, alpha: float, group_size: int) -> Model:
         [LeastSquares(1.0, A, y),
          GroupL1Regularizer(alpha, group_size, N // group_size)],
         [(1, 0, identity(N), identity(N))])
+
+
+def rpca_model(Y, lam: Optional[float] = None) -> Model:
+    """Robust PCA: ``min_L ||L||_* + lam |Y - L|_1`` — decompose ``Y``
+    into a low-rank part ``L = x0`` and a sparse part ``S = Y - L``
+    (additive model family; exercises the spectral
+    :class:`NuclearNormPenalty` prox and the offset form of
+    :class:`L1Regularizer`).
+
+    2-block with identity coupling: block 0 carries the nuclear norm,
+    block 1 the sparse deviation ``lam |x1 - vec(Y)|_1``.  Default
+    ``lam = 1/sqrt(max(Y.shape))`` (the standard RPCA weight).  ``Y`` is
+    per-instance overridable in the batched runtime via
+    ``{(1, "offset"): vec(Y_batch)}``.
+    """
+    Y = np.asarray(Y, dtype=np.float64)
+    assert Y.ndim == 2
+    m, n = Y.shape
+    if lam is None:
+        lam = 1.0 / np.sqrt(max(m, n))
+    mn = m * n
+    return Model(
+        [NuclearNormPenalty(1.0, (m, n)),
+         L1Regularizer(lam, mn, offset=Y.reshape(mn))],
+        [(1, 0, identity(mn), identity(mn))])
 
 
 def portfolio_model(cov, returns, gamma: float = 1.0) -> Model:

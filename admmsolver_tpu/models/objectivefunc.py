@@ -52,6 +52,7 @@ __all__ = [
     "L1Regularizer",
     "L2Regularizer",
     "NonNegativePenalty",
+    "NuclearNormPenalty",
     "SemiPositiveDefinitePenalty",
 ]
 
@@ -494,23 +495,40 @@ class ConstrainedLeastSquares(LeastSquares):
 
 
 class L1Regularizer(ObjectiveFunctionBase):
-    """``F(x) = alpha |x|_1`` (reference ``objectivefunc.py:160-195``)."""
+    """``F(x) = alpha |x - offset|_1`` (reference ``objectivefunc.py:
+    160-195``; ``offset`` is additive — ``None`` reproduces the
+    reference's plain L1 exactly).
+
+    The offset makes affine-data sparsity terms expressible without a
+    new block (e.g. robust PCA's ``|Y - L|_1``, :func:`rpca_model`): by
+    the substitution ``z = x - offset`` the prox reduces to the plain
+    soft-threshold on a shifted dual, ``x = offset +
+    soft(-h/mu - offset, alpha/(2 mu))``.  ``offset`` is per-instance
+    overridable in the batched runtime (``batch_fields``).
+    """
 
     needs_diagonal_mu = True
-    batch_fields = ("alpha",)
+    batch_fields = ("alpha", "offset")
 
     def _apply_updates(self, updates: dict) -> None:
         if "alpha" in updates:
             self._alpha = updates["alpha"]
+        if "offset" in updates:
+            self._offset = jnp.asarray(updates["offset"])
 
-    def __init__(self, alpha: float, size_x: int) -> None:
+    def __init__(self, alpha: float, size_x: int, offset=None) -> None:
         assert isinstance(size_x, (int, np.integer)), type(size_x)
         super().__init__(size_x)
         assert alpha > 0
         self._alpha = alpha
+        if offset is not None:
+            offset = jnp.asarray(offset)
+            assert offset.shape == (size_x,), offset.shape
+        self._offset = offset
 
     def __call__(self, x) -> float:
-        val = self._alpha * jnp.sum(jnp.abs(x))
+        v = x if self._offset is None else x - self._offset
+        val = self._alpha * jnp.sum(jnp.abs(v))
         return float(val) if not isinstance(val, jax.core.Tracer) else val
 
     def solve(self, h=None, mu: Optional[MatrixBase] = None):
@@ -522,7 +540,11 @@ class L1Regularizer(ObjectiveFunctionBase):
 
     def prox_diag(self, h, mu_diag):
         h = _real_if_complex(h)
-        return soft_threshold(-(h / mu_diag), 0.5 * self._alpha / mu_diag)
+        thr = 0.5 * self._alpha / mu_diag
+        if self._offset is None:
+            return soft_threshold(-(h / mu_diag), thr)
+        y = _real_if_complex(self._offset)
+        return y + soft_threshold(-(h / mu_diag) - y, thr)
 
 
 class L2Regularizer(_ShiftedQuadratic, ObjectiveFunctionBase):
@@ -708,6 +730,72 @@ class GroupL1Regularizer(ObjectiveFunctionBase):
         nrm = jnp.sqrt(jnp.sum(vg * vg, axis=-1))            # (..., ng)
         scale = jnp.maximum(1.0 - t / jnp.maximum(nrm, 1e-300), 0.0)
         return jnp.reshape(vg * scale[..., None], v.shape)
+
+
+class NuclearNormPenalty(ObjectiveFunctionBase):
+    """``F(x) = alpha ||mat(x)||_*`` — the nuclear norm (sum of singular
+    values) of ``x`` viewed as an (m, n) matrix, row-major (additive; no
+    reference counterpart — extends the spectral-penalty family,
+    reference ``objectivefunc.py:274-327``, to low-rank recovery and
+    completes the classic robust-PCA model, :func:`rpca_model`).
+
+    Prox is the singular-value soft-threshold via ONE batched SVD on the
+    MXU (the spectral analogue of the reference's elementwise
+    ``_softmax``, ``objectivefunc.py:335-355``):
+
+        argmin_X  alpha ||X||_* + 2 Re<H, X> + mu |X|_F^2
+                = U soft(s, alpha/(2 mu)) V^H,   U s V^H = svd(-H/mu).
+
+    The closed form requires a uniform (scaled-identity) penalty, which
+    identity couplings guarantee; the eager ``solve`` checks it on
+    concrete values, the jit engine documents it as a contract.
+    """
+
+    needs_diagonal_mu = True
+    batch_fields = ("alpha",)
+
+    def _apply_updates(self, updates: dict) -> None:
+        if "alpha" in updates:
+            self._alpha = updates["alpha"]
+
+    def __init__(self, alpha: float, shape: Sequence) -> None:
+        assert alpha > 0
+        m, n = (int(s) for s in shape)
+        super().__init__(m * n)
+        self._alpha = alpha
+        self._mn = (m, n)
+
+    def __call__(self, x) -> float:
+        X = jnp.reshape(x, x.shape[:-1] + self._mn)
+        s = jnp.linalg.svd(X, compute_uv=False)
+        val = self._alpha * jnp.sum(s)
+        return float(val) if not isinstance(val, jax.core.Tracer) else val
+
+    def solve(self, h=None, mu: Optional[MatrixBase] = None):
+        if h is None:
+            raise ValueError("h must not be None!")
+        if mu is None:
+            raise ValueError("mu must not be None!")
+        mu_diag = _mu_diagonal(mu)
+        md = np.asarray(mu_diag)
+        if md.ndim and not np.allclose(md, md.flat[0]):
+            raise ValueError(
+                "NuclearNormPenalty needs a uniform penalty (constant mu "
+                "over the matrix); couple this block through identity/"
+                "ScaledIdentity operators")
+        return self.prox_diag(jnp.asarray(h), mu_diag)
+
+    def prox_diag(self, h, mu_diag):
+        h = _real_if_complex(h)
+        v = -(h / mu_diag)
+        X = jnp.reshape(v, v.shape[:-1] + self._mn)
+        # per-lane scalar penalty (uniform by contract)
+        mu0 = jnp.reshape(jnp.broadcast_to(mu_diag, v.shape),
+                          v.shape)[..., 0]
+        U, s, Vh = jnp.linalg.svd(X, full_matrices=False)
+        s2 = jnp.maximum(s - (0.5 * self._alpha / mu0)[..., None], 0.0)
+        Xp = jnp.matmul(U * s2[..., None, :], Vh)
+        return jnp.reshape(Xp, v.shape)
 
 
 class SemiPositiveDefinitePenalty(ObjectiveFunctionBase):

@@ -4,7 +4,8 @@ backend (TPU under axon; CPU otherwise).
 Prints one JSON line per config: batched instance-iterations/s, plus a
 workload-specific correctness figure so a throughput number can never
 hide a broken solve.  ``python benches/bench_workloads.py [config ...]``
-with configs from {bp, lasso, spm, sdp, lpath}; default all.
+with configs from {bp, lasso, spm, spmf, sdp, lpath}; default all
+(spmf = just the fused-mixed SpM row, for cheap re-measurement).
 
 The headline driver benchmark stays ``bench.py`` (basis pursuit only).
 """
@@ -170,9 +171,13 @@ def bench_lasso(dtype):
           ref_ips=_ref_rate(lambda ref: _ref_lasso_nn(ref, A, ys[0], 0.05)))
 
 
-def bench_spm(dtype):
+def bench_spm(dtype, rows=("engine", "fused")):
     """Config 3: SpM analytic continuation, batched per-frequency data
-    (three-block: ConstrainedLS sum rule + L1 + nonneg via projector)."""
+    (three-block: ConstrainedLS sum rule + L1 + nonneg via projector).
+
+    ``rows`` selects which measurements run (cold axon compiles cost
+    tens of minutes per signature; the ``spmf`` CLI config reruns just
+    the fused row without paying for the engine row's compile)."""
     import jax.numpy as jnp
     from admmsolver_tpu.models.applications import (spm_model,
                                                     synthetic_spm_data)
@@ -186,18 +191,18 @@ def bench_spm(dtype):
     model = spm_model(s, np.asarray(g), prj_sum, prj_w, alpha_l1=1e-4)
     bs = BatchedSolver(model, dtype=dtype)
     ov = {(0, "y"): jnp.asarray(gs, dtype=dtype)}
-    res, dt = _time_solve(lambda: bs.solve(
-        ov, mu0=0.1, niter=niter, rtol=0.0, record_residuals=False))
-    rho_out = np.asarray(res.x[2], np.float64)
-    sums = rho_out @ np.ones(rho_out.shape[1])
     ref = _ref_rate(lambda r: _ref_spm(r, s, g, prj_sum, prj_w, 1e-4))
-    _emit("spm_per_frequency", B, niter, dt,
-          {"min_rho": round(float(rho_out.min()), 9),
-           "median_sum_rule_dev": round(
-               float(np.median(np.abs(
-                   np.asarray(res.x[0], np.float64) @ np.asarray(prj_sum)
-                   - 1.0))), 9)},
-          ref_ips=ref)
+    if "engine" in rows:
+        res, dt = _time_solve(lambda: bs.solve(
+            ov, mu0=0.1, niter=niter, rtol=0.0, record_residuals=False))
+        rho_out = np.asarray(res.x[2], np.float64)
+        _emit("spm_per_frequency", B, niter, dt,
+              {"min_rho": round(float(rho_out.min()), 9),
+               "median_sum_rule_dev": round(
+                   float(np.median(np.abs(
+                       np.asarray(res.x[0], np.float64)
+                       @ np.asarray(prj_sum) - 1.0))), 9)},
+              ref_ips=ref)
 
     # Fused Pallas fast path (BENCH_NOTES round 2: the regime where the
     # VMEM-resident kernel beats XLA ~4x): f32 kernel burns 4/5 of the
@@ -205,6 +210,8 @@ def bench_spm(dtype):
     # penalty state to reference precision.
     from admmsolver_tpu.parallel import FusedSpMSolver
 
+    if "fused" not in rows:
+        return
     fs = FusedSpMSolver(model, tile_b=256)
     resf, dtf = _time_solve(lambda: fs.solve_mixed(
         ov, niter_low=4 * niter // 5, niter=niter - 4 * niter // 5,
@@ -309,6 +316,7 @@ def main():
     print(json.dumps({"backend": backend, "dtype": str(dtype.__name__)}),
           flush=True)
     table = {"bp": bench_bp, "lasso": bench_lasso, "spm": bench_spm,
+             "spmf": lambda d: bench_spm(d, rows=("fused",)),
              "sdp": bench_sdp, "lpath": bench_lpath}
     for n in names:
         table[n](dtype)

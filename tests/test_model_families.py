@@ -242,3 +242,113 @@ def test_portfolio_simplex_and_oracle():
                    options={"maxiter": 1000, "ftol": 1e-14})
     assert obj(x) <= obj(ref.x) + 1e-6
     np.testing.assert_allclose(x, ref.x, atol=1e-4)
+
+
+# ------------------------------------------------------------ robust PCA
+
+def test_nuclear_prox_matches_scipy():
+    """Singular-value soft-threshold vs the generic-minimizer oracle."""
+    from admmsolver_tpu import NuclearNormPenalty
+    from admmsolver_tpu.ops.linop import ScaledIdentityMatrix
+
+    rng = np.random.RandomState(3)
+    m, n = 4, 3
+    alpha, mu = 0.8, 1.3
+    h = rng.randn(m * n)
+    f = NuclearNormPenalty(alpha, (m, n))
+    got = np.asarray(f.solve(jnp.asarray(h),
+                             ScaledIdentityMatrix(m * n, mu)))
+
+    def F(x):
+        return alpha * np.linalg.svd(x.reshape(m, n),
+                                     compute_uv=False).sum()
+
+    obj = _prox_objective(F, h, np.full(m * n, mu))
+    # closed form dominates the generic minimizer (Nelder-Mead stalls
+    # short of the optimum in 12 dims, so compare objectives, not x)
+    res = minimize(obj, got + 0.1 * rng.randn(m * n),
+                   method="Nelder-Mead",
+                   options={"maxiter": 40000, "xatol": 1e-10,
+                            "fatol": 1e-12})
+    assert obj(got) <= res.fun + 1e-8
+    # independent NumPy singular-value soft-threshold of -h/mu
+    V = (-h / mu).reshape(m, n)
+    U, s, Vh = np.linalg.svd(V, full_matrices=False)
+    want = (U * np.maximum(s - 0.5 * alpha / mu, 0.0)) @ Vh
+    np.testing.assert_allclose(got, want.reshape(-1), atol=1e-12)
+
+
+def test_nuclear_prox_rejects_nonuniform_mu():
+    from admmsolver_tpu import NuclearNormPenalty
+
+    f = NuclearNormPenalty(1.0, (2, 3))
+    with pytest.raises(ValueError, match="uniform"):
+        f.solve(jnp.zeros(6), DiagonalMatrix(np.arange(1.0, 7.0)))
+
+
+def test_l1_offset_prox_matches_scipy():
+    from admmsolver_tpu import L1Regularizer
+
+    rng = np.random.RandomState(4)
+    n = 5
+    alpha = 0.7
+    y = rng.randn(n)
+    h = rng.randn(n)
+    mu = np.abs(rng.randn(n)) + 0.5
+    f = L1Regularizer(alpha, n, offset=y)
+    got = np.asarray(f.solve(jnp.asarray(h), DiagonalMatrix(mu)))
+    obj = _prox_objective(lambda x: alpha * np.abs(x - y).sum(), h, mu)
+    res = minimize(obj, got + 0.05 * rng.randn(n), method="Nelder-Mead",
+                   options={"maxiter": 20000, "xatol": 1e-10,
+                            "fatol": 1e-12})
+    assert obj(got) <= res.fun + 1e-9
+    np.testing.assert_allclose(got, res.x, atol=1e-5)
+
+
+def test_rpca_recovers_low_rank_plus_sparse():
+    """Property check: RPCA separates a rank-2 matrix from sparse
+    corruption (standard lam = 1/sqrt(max_dim))."""
+    from admmsolver_tpu.models.applications import rpca_model
+
+    rng = np.random.RandomState(5)
+    m, n, r = 20, 16, 2
+    L0 = rng.randn(m, r) @ rng.randn(r, n)
+    S0 = np.zeros((m, n))
+    mask = rng.rand(m, n) < 0.06
+    S0[mask] = 5.0 * rng.randn(mask.sum())
+    Y = L0 + S0
+
+    o = SimpleOptimizer(rpca_model(Y))
+    o.solve(800)
+    L = np.asarray(o.x[0]).reshape(m, n)
+    S = Y - L
+    assert np.abs(L - L0).max() < 0.15 * np.abs(L0).max()
+    # sparse part concentrates on the corrupted mask
+    off = np.abs(S)[~mask].max() if (~mask).any() else 0.0
+    on = np.abs(S)[mask].min() if mask.any() else 1.0
+    assert off < 0.3, off
+    sv = np.linalg.svd(L, compute_uv=False)
+    assert sv[r:].max() < 0.05 * sv[0], sv
+
+
+def test_rpca_batched_per_instance_Y():
+    """Per-instance data through the offset batch field."""
+    from admmsolver_tpu.models.applications import rpca_model
+
+    rng = np.random.RandomState(6)
+    m, n, B = 8, 6, 3
+    Ys = []
+    for _ in range(B):
+        L0 = np.outer(rng.randn(m), rng.randn(n))
+        S0 = np.zeros((m, n))
+        S0[rng.randint(m), rng.randint(n)] = 4.0
+        Ys.append(L0 + S0)
+    Ys = np.stack(Ys)
+    model = rpca_model(Ys[0])
+    bs = BatchedSolver(model)
+    res = bs.solve({(1, "offset"): Ys.reshape(B, m * n)}, niter=400)
+    for b in range(B):
+        o = SimpleOptimizer(rpca_model(Ys[b]))
+        o.solve(400)
+        np.testing.assert_allclose(np.asarray(res.x[0][b]),
+                                   np.asarray(o.x[0]), atol=1e-8)
