@@ -762,7 +762,7 @@ class BatchedSolver:
                     niter: int = 10000,
                     low_dtype="float32",
                     low_rtol: float = 1e-6,
-                    fused: bool = True,
+                    fused: bool = False,
                     **kw) -> BatchResult:
         """Two-phase mixed-precision solve (SURVEY.md §7 hard part #1).
 
@@ -774,12 +774,15 @@ class BatchedSolver:
         carries the low-precision phase's progress exactly — so the
         hand-off costs nothing in final accuracy.
 
-        ``fused=True`` (default) runs both phases and the dtype promotion
-        inside ONE jit, saving a host dispatch (~30-40 ms on the axon
-        tunnel) — the fixed hand-off cost that made mixed precision lose
-        below ~200 iterations (BENCH_NOTES lesson 12).  Results match the
-        two-dispatch driver (``fused=False``) exactly.  Sharded solvers
-        fall back to the two-dispatch path (``solve`` owns placement).
+        ``fused=True`` runs both phases and the dtype promotion inside
+        ONE jit, saving a host dispatch (~30-40 ms on the axon tunnel).
+        Results match the two-dispatch driver exactly, but it is NOT the
+        default: on the eigh-heavy SDP workload the TPU compiler produced
+        a ~27% slower combined program (A/B-measured, BENCH_NOTES lesson
+        13 — CPU shows parity, so it is backend scheduling, not extra
+        work).  Use it when the per-call dispatch dominates (short
+        solves, many calls).  Sharded solvers always take the
+        two-dispatch path (``solve`` owns placement).
         """
         if fused and self.sharding is None:
             return self._solve_mixed_fused(

@@ -83,3 +83,24 @@ def test_uneven_batch_auto_padding(mesh):
     plain = BatchedSolver(t).solve({(0, "y"): ys}, niter=50)
     np.testing.assert_allclose(np.asarray(res.x[0]),
                                np.asarray(plain.x[0]), atol=1e-10)
+
+
+def test_sharded_solve_path_falls_back_to_loop(mesh):
+    """A sharded solver's solve_path (fused defaults to the host loop
+    under sharding — `solve` owns device placement) matches the
+    unsharded path driver."""
+    rng = np.random.RandomState(22)
+    M, N = 8, 16
+    nlam = 2 * len(mesh.devices.ravel())
+    A = rng.randn(M, N)
+    y = rng.randn(M)
+    lams = np.logspace(0, -2, nlam)
+    ys = np.broadcast_to(y, (nlam, M))
+    t = _template(A, y)
+    kw = dict(overrides={(0, "y"): ys}, group_size=nlam // 2,
+              niter=100, rtol=1e-8)
+    plain = BatchedSolver(t).solve_path((1, "alpha"), lams, **kw)
+    sharded = BatchedSolver(t, sharding=batch_sharding(mesh)).solve_path(
+        (1, "alpha"), lams, **kw)
+    np.testing.assert_allclose(np.asarray(sharded.x[0]),
+                               np.asarray(plain.x[0]), atol=1e-10)
