@@ -10,6 +10,12 @@ enforced by the caller (`timeout <s> python benches/c64_tpu_probe.py`).
 
 Prints one JSON line: {"ok": true, max_err, seconds} on success; if the
 compile hangs, the caller's timeout kills it and the guard stays.
+
+Probe result (2026-08-21, axon/v5e): fails fast — materializing a
+complex64 device constant raises ``UNIMPLEMENTED: TPU backend error``
+before any solve runs.  Native complex is unsupported on this backend at
+the runtime level (not merely a slow compile); the ``guard_complex``
+check and the realify embedding remain the supported complex path.
 """
 import json
 import os
