@@ -31,6 +31,7 @@ from .models.objectivefunc import (
     L1Regularizer,
     L2Regularizer,
     GroupL1Regularizer,
+    HuberLoss,
     NonNegativePenalty,
     NuclearNormPenalty,
     BoxProjectionPenalty,

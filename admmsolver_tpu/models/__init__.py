@@ -5,6 +5,7 @@ from .objectivefunc import (
     L1Regularizer,
     L2Regularizer,
     GroupL1Regularizer,
+    HuberLoss,
     NonNegativePenalty,
     NuclearNormPenalty,
     BoxProjectionPenalty,

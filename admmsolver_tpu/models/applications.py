@@ -26,6 +26,7 @@ composition of the same block/coupling machinery):
   (hard simplex equality + nonnegativity).
 * :func:`rpca_model` — robust PCA (nuclear-norm low-rank + sparse
   residual via the offset-L1 form).
+* :func:`robust_regression_model` — outlier-resistant Huber regression.
 """
 from __future__ import annotations
 
@@ -39,6 +40,7 @@ from .objectivefunc import (
     BoxProjectionPenalty,
     ConstrainedLeastSquares,
     GroupL1Regularizer,
+    HuberLoss,
     L1Regularizer,
     L2Regularizer,
     LeastSquares,
@@ -59,6 +61,7 @@ __all__ = [
     "group_lasso_model",
     "portfolio_model",
     "rpca_model",
+    "robust_regression_model",
 ]
 
 
@@ -183,6 +186,26 @@ def group_lasso_model(A, y, alpha: float, group_size: int) -> Model:
         [LeastSquares(1.0, A, y),
          GroupL1Regularizer(alpha, group_size, N // group_size)],
         [(1, 0, identity(N), identity(N))])
+
+
+def robust_regression_model(A, y, delta: float = 1.0,
+                            alpha_reg: float = 1e-6) -> Model:
+    """Robust (Huber) regression:
+    ``min_x  sum_i H_delta((A x - y)_i) + alpha_reg ||x||²`` (additive
+    model family; outlier-resistant data fit).  2-block: a ridge-
+    regularized coefficient block coupled through ``A`` to a residual
+    block carrying the elementwise Huber prox with offset ``y`` — the
+    same non-identity-coupling pattern as :func:`tv_denoise_model`.
+    ``y`` is per-instance overridable via ``{(1, "y"): y_batch}``.
+    """
+    A = np.asarray(A)
+    y = np.asarray(y, dtype=np.float64)
+    M, N = A.shape
+    assert y.shape == (M,)
+    return Model(
+        [L2Regularizer(alpha_reg, np.eye(N)),
+         HuberLoss(1.0, y, delta)],
+        [(0, 1, A, identity(M))])
 
 
 def rpca_model(Y, lam: Optional[float] = None) -> Model:

@@ -51,6 +51,7 @@ __all__ = [
     "ConstrainedLeastSquares",
     "L1Regularizer",
     "L2Regularizer",
+    "HuberLoss",
     "NonNegativePenalty",
     "NuclearNormPenalty",
     "SemiPositiveDefinitePenalty",
@@ -730,6 +731,64 @@ class GroupL1Regularizer(ObjectiveFunctionBase):
         nrm = jnp.sqrt(jnp.sum(vg * vg, axis=-1))            # (..., ng)
         scale = jnp.maximum(1.0 - t / jnp.maximum(nrm, 1e-300), 0.0)
         return jnp.reshape(vg * scale[..., None], v.shape)
+
+
+class HuberLoss(ObjectiveFunctionBase):
+    """``F(x) = alpha * sum_i H_delta(x_i - y_i)`` with the Huber
+    function ``H_delta(z) = z^2/2`` for ``|z| <= delta``, else
+    ``delta(|z| - delta/2)`` (additive; no reference counterpart —
+    robust data fits, see :func:`robust_regression_model`).
+
+    The prox is elementwise and branch-free (three-way ``where`` on the
+    VPU): with ``z = x - y``, ``u = h + mu y`` the quadratic region
+    gives ``z = -2u/(alpha + 2 mu)`` and the linear tails
+    ``z = -(2u ± alpha*delta)/(2 mu)`` — the robust generalization of
+    the shifted-quadratic solve (reference ``objectivefunc.py:98-110``),
+    degenerating to it as ``delta → ∞``.
+    """
+
+    needs_diagonal_mu = True
+    batch_fields = ("alpha", "y")
+
+    def _apply_updates(self, updates: dict) -> None:
+        if "alpha" in updates:
+            self._alpha = updates["alpha"]
+        if "y" in updates:
+            self._y = jnp.asarray(updates["y"])
+
+    def __init__(self, alpha: float, y, delta: float = 1.0) -> None:
+        y = jnp.asarray(y)
+        assert y.ndim == 1
+        super().__init__(y.shape[0])
+        assert alpha > 0 and delta > 0
+        self._alpha = alpha
+        self._y = y
+        self._delta = float(delta)
+
+    def __call__(self, x) -> float:
+        z = jnp.abs(_real_if_complex(x) - _real_if_complex(self._y))
+        d = self._delta
+        val = self._alpha * jnp.sum(
+            jnp.where(z <= d, 0.5 * z * z, d * (z - 0.5 * d)))
+        return float(val) if not isinstance(val, jax.core.Tracer) else val
+
+    def solve(self, h=None, mu: Optional[MatrixBase] = None):
+        if h is None:
+            raise ValueError("h must not be None!")
+        if mu is None:
+            raise ValueError("mu must not be None!")
+        return self.prox_diag(jnp.asarray(h), _mu_diagonal(mu))
+
+    def prox_diag(self, h, mu_diag):
+        h = _real_if_complex(h)
+        y = _real_if_complex(self._y)
+        a, d = self._alpha, self._delta
+        u = h + mu_diag * y
+        zq = -2.0 * u / (a + 2.0 * mu_diag)
+        zp = -(2.0 * u + a * d) / (2.0 * mu_diag)
+        zn = -(2.0 * u - a * d) / (2.0 * mu_diag)
+        z = jnp.where(zq > d, zp, jnp.where(zq < -d, zn, zq))
+        return y + z
 
 
 class NuclearNormPenalty(ObjectiveFunctionBase):

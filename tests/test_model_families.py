@@ -352,3 +352,95 @@ def test_rpca_batched_per_instance_Y():
         o.solve(400)
         np.testing.assert_allclose(np.asarray(res.x[0][b]),
                                    np.asarray(o.x[0]), atol=1e-8)
+
+
+# ----------------------------------------------------- Huber regression
+
+def test_huber_prox_matches_scipy():
+    from admmsolver_tpu import HuberLoss
+
+    rng = np.random.RandomState(7)
+    n = 6
+    alpha, delta = 0.9, 0.6
+    y = rng.randn(n)
+    h = 2.0 * rng.randn(n)
+    mu = np.abs(rng.randn(n)) + 0.3
+    f = HuberLoss(alpha, y, delta)
+    got = np.asarray(f.solve(jnp.asarray(h), DiagonalMatrix(mu)))
+
+    def H(x):
+        z = np.abs(x - y)
+        return alpha * np.sum(np.where(z <= delta, 0.5 * z * z,
+                                       delta * (z - 0.5 * delta)))
+
+    obj = _prox_objective(H, h, mu)
+    res = minimize(obj, got + 0.05 * rng.randn(n), method="Nelder-Mead",
+                   options={"maxiter": 40000, "xatol": 1e-12,
+                            "fatol": 1e-14})
+    assert obj(got) <= res.fun + 1e-10
+    np.testing.assert_allclose(got, res.x, atol=1e-5)
+
+
+def test_huber_value_and_quadratic_limit():
+    from admmsolver_tpu import HuberLoss
+    from admmsolver_tpu.ops.linop import ScaledIdentityMatrix
+
+    rng = np.random.RandomState(8)
+    n = 5
+    y = rng.randn(n)
+    x = y + 0.01 * rng.randn(n)  # inside the quadratic region
+    f = HuberLoss(2.0, y, delta=1.0)
+    np.testing.assert_allclose(f(jnp.asarray(x)),
+                               2.0 * 0.5 * np.sum((x - y) ** 2),
+                               rtol=1e-12)
+    # delta -> inf degenerates to the shifted-quadratic solve
+    big = HuberLoss(2.0, y, delta=1e9)
+    h = rng.randn(n)
+    mu = 1.7
+    got = np.asarray(big.solve(jnp.asarray(h),
+                               ScaledIdentityMatrix(n, mu)))
+    # argmin alpha/2 |x-y|^2 + 2 h x + mu x^2
+    want = (2.0 * y - 2.0 * h) / (2.0 + 2.0 * mu)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_robust_regression_resists_outliers():
+    """Huber fit tracks the clean line; plain LS is dragged by the
+    outliers (property check)."""
+    from admmsolver_tpu.models.applications import robust_regression_model
+
+    rng = np.random.RandomState(9)
+    M, N = 60, 3
+    A = np.c_[np.ones(M), rng.randn(M, N - 1)]
+    beta = np.array([1.0, -2.0, 0.5])
+    y = A @ beta + 0.05 * rng.randn(M)
+    out = rng.choice(M, 6, replace=False)
+    y[out] += 25.0 * rng.choice([-1.0, 1.0], 6)
+
+    o = SimpleOptimizer(robust_regression_model(A, y, delta=0.5))
+    o.solve(3000)
+    bh = np.asarray(o.x[0])
+    b_ls = np.linalg.lstsq(A, y, rcond=None)[0]
+    err_h = np.abs(bh - beta).max()
+    err_ls = np.abs(b_ls - beta).max()
+    assert err_h < 0.1, err_h
+    assert err_h < 0.3 * err_ls, (err_h, err_ls)
+
+
+def test_robust_regression_batched_per_instance_y():
+    from admmsolver_tpu.models.applications import robust_regression_model
+
+    rng = np.random.RandomState(10)
+    M, N, B = 20, 2, 3
+    A = np.c_[np.ones(M), rng.randn(M)]
+    ys = np.stack([A @ rng.randn(N) + 0.1 * rng.randn(M)
+                   for _ in range(B)])
+    ys[:, 0] += 10.0  # one shared outlier
+    model = robust_regression_model(A, ys[0], delta=0.5)
+    bs = BatchedSolver(model)
+    res = bs.solve({(1, "y"): ys}, niter=800)
+    for b in range(B):
+        o = SimpleOptimizer(robust_regression_model(A, ys[b], delta=0.5))
+        o.solve(800)
+        np.testing.assert_allclose(np.asarray(res.x[0][b]),
+                                   np.asarray(o.x[0]), atol=1e-8)
