@@ -153,6 +153,14 @@ class ObjectiveFunctionBase:
     #: (:mod:`admmsolver_tpu.parallel.batch`); the structure (A, C, E)
     #: stays shared across the batch.
     batch_fields: tuple = ()
+    #: When set to a group size ``g``, the prox closed form requires the
+    #: effective diagonal penalty to be CONSTANT within each contiguous
+    #: group of ``g`` entries (``g == size_x`` → fully uniform).  The
+    #: penalty structure is static, so :class:`~admmsolver_tpu.optimizer.
+    #: ADMMPlan` verifies this at build time from the concrete coupling
+    #: diagonals — a wrong coupling fails at construction, not silently
+    #: at runtime inside jit.
+    uniform_mu_group: Optional[int] = None
 
     def __init__(self, size_x: int) -> None:
         self._size_x = int(size_x)
@@ -528,7 +536,11 @@ class L1Regularizer(ObjectiveFunctionBase):
         self._offset = offset
 
     def __call__(self, x) -> float:
-        v = x if self._offset is None else x - self._offset
+        from ..ops.linop import _match_precision
+
+        x = jnp.asarray(x)
+        v = x if self._offset is None else \
+            x - _match_precision(self._offset, x.dtype)
         val = self._alpha * jnp.sum(jnp.abs(v))
         return float(val) if not isinstance(val, jax.core.Tracer) else val
 
@@ -540,11 +552,15 @@ class L1Regularizer(ObjectiveFunctionBase):
         return self.prox_diag(jnp.asarray(h), _mu_diagonal(mu))
 
     def prox_diag(self, h, mu_diag):
+        from ..ops.linop import _match_precision
+
         h = _real_if_complex(h)
         thr = 0.5 * self._alpha / mu_diag
         if self._offset is None:
             return soft_threshold(-(h / mu_diag), thr)
-        y = _real_if_complex(self._offset)
+        # precision follows the state dtype: a stored-f64 offset must not
+        # silently promote an f32 phase to emulated-f64 arithmetic
+        y = _match_precision(_real_if_complex(self._offset), h.dtype)
         return y + soft_threshold(-(h / mu_diag) - y, thr)
 
 
@@ -697,6 +713,8 @@ class GroupL1Regularizer(ObjectiveFunctionBase):
         self._alpha = alpha
         self._gs = int(group_size)
         self._ng = int(n_groups)
+        # engine contract, verified statically at ADMMPlan build
+        self.uniform_mu_group = self._gs
 
     def __call__(self, x) -> float:
         xg = jnp.reshape(x, x.shape[:-1] + (self._ng, self._gs))
@@ -766,7 +784,11 @@ class HuberLoss(ObjectiveFunctionBase):
         self._delta = float(delta)
 
     def __call__(self, x) -> float:
-        z = jnp.abs(_real_if_complex(x) - _real_if_complex(self._y))
+        from ..ops.linop import _match_precision
+
+        x = _real_if_complex(jnp.asarray(x))
+        z = jnp.abs(x - _match_precision(_real_if_complex(self._y),
+                                         x.dtype))
         d = self._delta
         val = self._alpha * jnp.sum(
             jnp.where(z <= d, 0.5 * z * z, d * (z - 0.5 * d)))
@@ -780,8 +802,11 @@ class HuberLoss(ObjectiveFunctionBase):
         return self.prox_diag(jnp.asarray(h), _mu_diagonal(mu))
 
     def prox_diag(self, h, mu_diag):
+        from ..ops.linop import _match_precision
+
         h = _real_if_complex(h)
-        y = _real_if_complex(self._y)
+        # keep an f32 phase in f32 (stored _y is typically f64)
+        y = _match_precision(_real_if_complex(self._y), h.dtype)
         a, d = self._alpha, self._delta
         u = h + mu_diag * y
         zq = -2.0 * u / (a + 2.0 * mu_diag)
@@ -823,6 +848,8 @@ class NuclearNormPenalty(ObjectiveFunctionBase):
         super().__init__(m * n)
         self._alpha = alpha
         self._mn = (m, n)
+        # fully uniform penalty required; verified at ADMMPlan build
+        self.uniform_mu_group = m * n
 
     def __call__(self, x) -> float:
         X = jnp.reshape(x, x.shape[:-1] + self._mn)

@@ -108,6 +108,7 @@ class ADMMPlan:
                             f"block {k} has no diagonal interpretation "
                             "(reference assert at objectivefunc.py:187,296)")
                     diag_terms.append((p_idx, d))
+                self._check_uniform_mu(k, f, diag_terms)
                 self.mu_diag_terms.append(diag_terms)
             else:
                 self.mu_diag_terms.append(None)
@@ -116,6 +117,38 @@ class ADMMPlan:
         # E[(j,i)] acts on x_i (optimizer.py:251-274).
         self.E_ij = [model.E[(i, j)] for (i, j) in self.pairs]
         self.E_ji = [model.E[(j, i)] for (i, j) in self.pairs]
+
+    def _check_uniform_mu(self, k, f, diag_terms) -> None:
+        """Statically verify blockwise-uniform penalty contracts.
+
+        GroupL1Regularizer/NuclearNormPenalty prox closed forms require
+        the effective diagonal penalty to be constant within each group
+        of ``f.uniform_mu_group`` entries.  The runtime penalty is
+        ``Σ_p mu[p] · d_p`` with per-pair SCALAR ``mu[p]``, so uniformity
+        of each concrete coupling diagonal ``d_p`` is exactly equivalent
+        — and decidable here, at plan-build time, where the structure is
+        static (same spirit as the ``needs_diagonal_mu`` trace-time
+        errors above).  A non-uniform coupling raises at construction
+        instead of silently producing a wrong prox under jit.
+        """
+        from .ops.linop import _concrete
+
+        g = getattr(f, "uniform_mu_group", None)
+        if not g or g <= 1:
+            return
+        for _p_idx, d in diag_terms:
+            dc = _concrete(d)
+            if dc is None:
+                continue  # traced coupling: can't decide; contract stands
+            dv = np.broadcast_to(np.asarray(dc), (f.size_x,))
+            dg = dv.reshape(-1, g)
+            if not np.allclose(dg, dg[:, :1]):
+                raise ValueError(
+                    f"block {k} ({type(f).__name__}) requires a penalty "
+                    f"constant within each group of {g} entries, but its "
+                    "coupling produces a non-uniform effective diagonal; "
+                    "couple this block through identity/ScaledIdentity "
+                    "operators")
 
     # ------------------------------------------------------------------
     # Pure functions of the iteration (all batchable / vmappable)

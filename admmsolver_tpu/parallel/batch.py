@@ -48,6 +48,46 @@ def _cast_like(dtype, a):
     return a
 
 
+def _to_state_dtype(a, dtype):
+    """Cast user-supplied initial state to the solver state dtype.
+
+    Complex input to a REAL-dtype solve is explicit, not silent: the
+    reference initializes state as ``complex128`` zeros
+    (``optimizer.py:151,159``), so all-zero-imag complex ``x0``/``h0``
+    is accepted (via an explicit ``.real``), but any nonzero imaginary
+    part raises instead of being discarded (NumPy's ComplexWarning class
+    of bug — the dtype discipline here forbids silent casts)."""
+    a = jnp.asarray(a)
+    if (np.issubdtype(a.dtype, np.complexfloating)
+            and not np.issubdtype(np.dtype(dtype), np.complexfloating)):
+        from ..ops.linop import _concrete
+
+        im = _concrete(a.imag)
+        if im is not None and np.any(np.asarray(im) != 0):
+            raise TypeError(
+                "complex initial state passed to a real-dtype solve would "
+                "discard its imaginary part; wrap the model with "
+                "admmsolver_tpu.realify_model or pass dtype=complex")
+        a = a.real
+    return a.astype(dtype)
+
+
+def _parse_record_residuals(record_residuals) -> Tuple[bool, int]:
+    """Normalize the ``record_residuals`` knob to ``(record, stride)``.
+
+    ``True`` → per-iteration histories; ``False`` → none; an int ``s >= 1``
+    → every s-th iteration (shared by every batched/fused driver)."""
+    if record_residuals is True:
+        return True, 1
+    if record_residuals is False:
+        return False, 1
+    stride = int(record_residuals)
+    if stride < 1:
+        raise ValueError(
+            f"record_residuals stride must be >= 1, got {stride}")
+    return True, stride
+
+
 @dataclasses.dataclass
 class BatchResult:
     """Converged batch state.
@@ -430,14 +470,14 @@ class BatchedSolver:
 
         plan = self.plan
         if x0 is not None:
-            x = tuple(jnp.asarray(x_, dtype=dtype) for x_ in x0)
+            x = tuple(_to_state_dtype(x_, dtype) for x_ in x0)
             assert all(x_.shape == (B, n)
                        for x_, n in zip(x, plan.block_sizes))
         else:
             x = tuple(jnp.zeros((B, n), dtype=dtype)
                       for n in plan.block_sizes)
         if h0 is not None:
-            h = tuple(jnp.asarray(h_, dtype=dtype) for h_ in h0)
+            h = tuple(_to_state_dtype(h_, dtype) for h_ in h0)
             assert all(h_.shape == (B, s)
                        for h_, s in zip(h, plan.pair_sizes))
         else:
@@ -488,16 +528,7 @@ class BatchedSolver:
                          th_change=float(th_change))
         ov_keys = tuple(sorted(overrides.keys()))
         ov_vals = tuple(jnp.asarray(overrides[k]) for k in ov_keys)
-        if record_residuals is True:
-            record, stride = True, 1
-        elif record_residuals is False:
-            record, stride = False, 1
-        else:
-            stride = int(record_residuals)
-            if stride < 1:
-                raise ValueError(
-                    f"record_residuals stride must be >= 1, got {stride}")
-            record = True
+        record, stride = _parse_record_residuals(record_residuals)
         run = self._compiled(cfg, ov_keys, record, bool(chunked_checks),
                              stride)
         x, h, mu, done, count, pbuf, dbuf = run(ov_vals, x, h, mu,
@@ -648,14 +679,14 @@ class BatchedSolver:
 
         plan = self.plan
         if x0 is not None:
-            x = tuple(jnp.asarray(x_, dtype=dtype) for x_ in x0)
+            x = tuple(_to_state_dtype(x_, dtype) for x_ in x0)
             assert all(x_.shape == (gs, sz)
                        for x_, sz in zip(x, plan.block_sizes))
         else:
             x = tuple(jnp.zeros((gs, sz), dtype=dtype)
                       for sz in plan.block_sizes)
         if h0 is not None:
-            h = tuple(jnp.asarray(h_, dtype=dtype) for h_ in h0)
+            h = tuple(_to_state_dtype(h_, dtype) for h_ in h0)
             assert all(h_.shape == (gs, sz)
                        for h_, sz in zip(h, plan.pair_sizes))
         else:
@@ -675,16 +706,7 @@ class BatchedSolver:
                          update_h=bool(update_h), max_mu=float(max_mu),
                          fact_incr=float(fact_incr),
                          th_change=float(th_change))
-        if record_residuals is True:
-            record, stride = True, 1
-        elif record_residuals is False:
-            record, stride = False, 1
-        else:
-            stride = int(record_residuals)
-            if stride < 1:
-                raise ValueError(
-                    f"record_residuals stride must be >= 1, got {stride}")
-            record = True
+        record, stride = _parse_record_residuals(record_residuals)
         run = self._compiled_path(cfg, ov_keys, record,
                                   bool(chunked_checks), stride)
         xg, hg, mug, done, count, pbuf, dbuf = run(ov_stack, x, h, mu,
@@ -840,12 +862,12 @@ class BatchedSolver:
 
         plan = self.plan
         if x0 is not None:
-            x = tuple(jnp.asarray(x_, dtype=dtype) for x_ in x0)
+            x = tuple(_to_state_dtype(x_, dtype) for x_ in x0)
         else:
             x = tuple(jnp.zeros((B, n), dtype=dtype)
                       for n in plan.block_sizes)
         if h0 is not None:
-            h = tuple(jnp.asarray(h_, dtype=dtype) for h_ in h0)
+            h = tuple(_to_state_dtype(h_, dtype) for h_ in h0)
         else:
             h = tuple(jnp.zeros((B, s), dtype=dtype)
                       for s in plan.pair_sizes)
@@ -864,16 +886,7 @@ class BatchedSolver:
             niter=int(n), interval_update_mu=int(interval_update_mu),
             update_h=bool(update_h), max_mu=float(max_mu),
             fact_incr=float(fact_incr), th_change=float(th_change))
-        if record_residuals is True:
-            record, stride = True, 1
-        elif record_residuals is False:
-            record, stride = False, 1
-        else:
-            stride = int(record_residuals)
-            if stride < 1:
-                raise ValueError(
-                    f"record_residuals stride must be >= 1, got {stride}")
-            record = True
+        record, stride = _parse_record_residuals(record_residuals)
         ov_keys = tuple(sorted(overrides.keys()))
         ov_vals = tuple(jnp.asarray(overrides[k]) for k in ov_keys)
         run = self._compiled_mixed(mk_cfg(niter_low), mk_cfg(niter),

@@ -74,6 +74,11 @@ class FusedTwoBlockSolver:
         if isinstance(f1, RealPartProx):
             f1_inner, suffix = f1._inner, "_even"
         if isinstance(f1_inner, L1Regularizer):
+            if f1_inner._offset is not None:
+                raise ValueError(
+                    "fused path does not support L1Regularizer offsets "
+                    "(the kernel applies the plain soft-threshold); use "
+                    "BatchedSolver")
             self.prox = "l1" + suffix
         elif isinstance(f1_inner, NonNegativePenalty):
             self.prox = "nonneg" + suffix
@@ -200,10 +205,10 @@ class FusedTwoBlockSolver:
         stepI = self._build_step(interval) if nfull else None
         stepR = self._build_step(nrem) if nrem else None
 
-        def run(x0a, x1a, ha, mu, acy, alpha_ls, alpha1, tols, knobs):
+        def run(x0a, x1a, ha, mu, acy, alpha_ls, alpha1, tols, knobs,
+                done0):
             B = mu.shape[0]
-            state = (x0a, x1a, ha, mu,
-                     jnp.zeros(B, dtype=bool), jnp.zeros(B, jnp.int32))
+            state = (x0a, x1a, ha, mu, done0, jnp.zeros(B, jnp.int32))
             pbuf = jnp.full((nchunks, B), jnp.nan, jnp.float32)
             dbuf = jnp.full((nchunks, B), jnp.nan, jnp.float32)
 
@@ -259,9 +264,11 @@ class FusedTwoBlockSolver:
               fact_incr: float = 2.0,
               th_change: float = 10.0,
               max_mu: float = 1e3,
-              x0=None, x1=None, h0=None) -> FusedResult:
+              x0=None, x1=None, h0=None, done0=None) -> FusedResult:
         """Solve a batch.  ``overrides``: ``{(0,'y'): (B,M), (0,'alpha'):
-        (B,), (1,'alpha'): (B,)}`` subsets, as in BatchedSolver."""
+        (B,), (1,'alpha'): (B,)}`` subsets, as in BatchedSolver.
+        ``done0``: (B,) bool mask of lanes that start converged (never
+        iterate) — the scheduler convention BatchedSolver.solve uses."""
         overrides = dict(overrides or {})
         B = batch_size
         for v in overrides.values():
@@ -319,6 +326,14 @@ class FusedTwoBlockSolver:
         tols = (jnp.float32(rtol), jnp.float32(atol))
         knobs = (jnp.float32(fact_incr), jnp.float32(th_change),
                  jnp.float32(max_mu))
+        if done0 is None:
+            d0 = jnp.zeros(B, dtype=bool)
+        else:
+            d0 = jnp.asarray(done0, dtype=bool)
+            assert d0.shape == (B,), d0.shape
+        if Bp != B:
+            # padding lanes start done: they never iterate
+            d0 = jnp.concatenate([d0, jnp.ones(Bp - B, dtype=bool)])
 
         # reference schedule: penalty update after iterations 0, interval,
         # 2*interval, ... (optimizer.py:319-320); chunk boundaries align
@@ -326,7 +341,7 @@ class FusedTwoBlockSolver:
         # loop runs inside ONE jit (see _compiled_run).
         run = self._compiled_run(int(niter), int(interval_update_mu))
         state, pbuf, dbuf = run(x0a, x1a, ha, mu, acy, alpha_ls, alpha1,
-                                tols, knobs)
+                                tols, knobs, d0)
 
         x0f, x1f, hf, muf, done, count = state
         trim = lambda a: a[:B]

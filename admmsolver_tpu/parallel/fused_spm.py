@@ -70,6 +70,11 @@ class FusedSpMSolver:
             raise ValueError("block 0 must be (Constrained)LeastSquares")
         if not isinstance(f1, L1Regularizer):
             raise ValueError("block 1 must be L1Regularizer")
+        if f1._offset is not None:
+            raise ValueError(
+                "fused SpM path does not support L1Regularizer offsets "
+                "(the kernel applies the plain soft-threshold); use "
+                "BatchedSolver")
         if not isinstance(f2, NonNegativePenalty):
             raise ValueError("block 2 must be NonNegativePenalty")
         if not (_is_identity_si(model.E[(1, 0)])
@@ -254,12 +259,12 @@ class FusedSpMSolver:
         stepI = self._chunk_step(interval) if nfull else None
         stepR = self._chunk_step(nrem) if nrem else None
 
-        def run(acy, alpha_ls, alpha1, mu0v, tols, knobs):
+        def run(acy, alpha_ls, alpha1, mu0v, tols, knobs, done0):
             B = mu0v.shape[0]
             zf = lambda f: jnp.zeros((f, B), jnp.float32)
             state = (zf(self.nl_pad), zf(self.nl_pad), zf(self.nw_pad),
                      zf(self.nl_pad), zf(self.nw_pad), mu0v,
-                     jnp.zeros(B, dtype=bool), jnp.zeros(B, jnp.int32))
+                     done0, jnp.zeros(B, jnp.int32))
             pbuf = jnp.full((nchunks, B), jnp.nan, jnp.float32)
             dbuf = jnp.full((nchunks, B), jnp.nan, jnp.float32)
 
@@ -313,9 +318,12 @@ class FusedSpMSolver:
               atol: float = 0.0,
               fact_incr: float = 2.0,
               th_change: float = 10.0,
-              max_mu: float = 1e3) -> FusedSpMResult:
+              max_mu: float = 1e3,
+              done0=None) -> FusedSpMResult:
         """Solve a batch; overrides ``{(0,'y'): (B, M), (0,'alpha'): (B,),
-        (1,'alpha'): (B,)}`` subsets, as in BatchedSolver."""
+        (1,'alpha'): (B,)}`` subsets, as in BatchedSolver.  ``done0``:
+        (B,) bool mask of lanes that start converged (scheduler
+        convention, as in BatchedSolver.solve)."""
         overrides = dict(overrides or {})
         B = batch_size
         for v in overrides.values():
@@ -352,9 +360,18 @@ class FusedSpMSolver:
         tols = (jnp.float32(rtol), jnp.float32(atol))
         knobs = (jnp.float32(fact_incr), jnp.float32(th_change),
                  jnp.float32(max_mu))
+        if done0 is None:
+            d0 = jnp.zeros(B, dtype=bool)
+        else:
+            d0 = jnp.asarray(done0, dtype=bool)
+            assert d0.shape == (B,), d0.shape
+        if Bp != B:
+            # padding lanes start done: they never iterate
+            d0 = jnp.concatenate([d0, jnp.ones(Bp - B, dtype=bool)])
 
         run = self._compiled_run(int(niter), int(interval_update_mu))
-        state, pbuf, dbuf = run(acy, alpha_ls, alpha1, mu0v, tols, knobs)
+        state, pbuf, dbuf = run(acy, alpha_ls, alpha1, mu0v, tols, knobs,
+                                d0)
 
         x0, x1, x2, h10, h20, mu, done, count = state
         trim_f = lambda a, f: a[:f, :B].T  # feature-major -> (B, f)
@@ -401,11 +418,12 @@ class FusedSpMSolver:
         if fused and not (set(kw) - {
                 "interval_update_mu", "update_h", "rtol", "atol",
                 "fact_incr", "th_change", "max_mu", "record_residuals",
-                "chunked_checks"}):
+                "chunked_checks", "done0"}):
             return self._solve_mixed_fused(bs, overrides, niter_low,
                                            niter, mu0, low_atol, **kw)
         p1 = self.solve(overrides, niter=niter_low, mu0=mu0,
-                        rtol=0.0, atol=low_atol)
+                        rtol=0.0, atol=low_atol,
+                        done0=kw.get("done0"))
         x0 = tuple(jnp.asarray(a, jnp.float64) for a in p1.x)
         h0 = tuple(jnp.asarray(a, jnp.float64) for a in p1.h)
         p2 = bs.solve(overrides, x0=x0, h0=h0,
@@ -428,16 +446,19 @@ class FusedSpMSolver:
                            th_change: float = 10.0,
                            max_mu: float = 1e3,
                            record_residuals=True,
-                           chunked_checks: bool = False):
+                           chunked_checks: bool = False,
+                           done0=None):
         """One-jit kernel-phase + promotion + engine-polish composite
         (see :meth:`solve_mixed`)."""
         from ..config import ADMMConfig
-        from .batch import BatchResult, _cast_like
+        from .batch import (BatchResult, _cast_like,
+                            _parse_record_residuals)
 
         overrides = dict(overrides or {})
-        B = None
-        for v in overrides.values():
-            B = np.shape(v)[0]
+        # Same field/shape discipline as the engine path: unknown fields,
+        # scalar overrides, and cross-field batch mismatches all raise
+        # here instead of failing downstream.
+        B = bs._validate_overrides(overrides)
         if B is None:
             raise ValueError("pass overrides with a leading batch axis")
         Bp = ((B + self.tile_b - 1) // self.tile_b) * self.tile_b
@@ -470,6 +491,13 @@ class FusedSpMSolver:
         tols_lo = (jnp.float32(0.0), jnp.float32(low_atol))
         knobs = (jnp.float32(fact_incr), jnp.float32(th_change),
                  jnp.float32(max_mu))
+        if done0 is None:
+            d0 = jnp.zeros(B, dtype=bool)
+        else:
+            d0 = jnp.asarray(done0, dtype=bool)
+            assert d0.shape == (B,), d0.shape
+        d0p = d0 if Bp == B else jnp.concatenate(
+            [d0, jnp.ones(Bp - B, dtype=bool)])
 
         # --- engine-polish program ------------------------------------
         ov_hi = {k: _cast_like(jnp.float64, v)
@@ -481,13 +509,7 @@ class FusedSpMSolver:
                          update_h=bool(update_h), max_mu=float(max_mu),
                          fact_incr=float(fact_incr),
                          th_change=float(th_change))
-        if record_residuals is True:
-            record, stride = True, 1
-        elif record_residuals is False:
-            record, stride = False, 1
-        else:
-            stride = int(record_residuals)
-            record = True
+        record, stride = _parse_record_residuals(record_residuals)
 
         cache = getattr(self, "_mixed_cache", None)
         if cache is None:
@@ -503,23 +525,25 @@ class FusedSpMSolver:
             nl, nw = self.nl, self.nw
 
             def composite(acy, alpha_ls, alpha1, mu0v, tols_lo, knobs,
-                          ov_vals, tols_hi):
+                          ov_vals, tols_hi, d0p):
                 state, _, _ = run_lo(acy, alpha_ls, alpha1, mu0v,
-                                     tols_lo, knobs)
+                                     tols_lo, knobs, d0p)
                 x0_, x1_, x2_, h10, h20, mu, done, count = state
                 up = lambda a, f: a[:f, :B].T.astype(jnp.float64)
                 x = (up(x0_, nl), up(x1_, nl), up(x2_, nw))
                 h = (up(h10, nl), up(h20, nw))
+                # Lanes the CALLER marked done skip the polish too; the
+                # kernel phase's own (atol-gated) done flags do not.
                 xh, hh, muh, doneh, c2, pb2, db2 = run_hi(
                     ov_vals, x, h, mu[:B].astype(jnp.float64), tols_hi,
-                    jnp.zeros(B, dtype=bool))
+                    d0p[:B])
                 c1 = jnp.minimum(count[:B], niter_low)
                 return xh, hh, muh, doneh, c1 + c2, pb2, db2
 
             run_all = cache[ckey] = jax.jit(composite)
         xh, hh, muh, done, count, pbuf, dbuf = run_all(
             acy, alpha_ls, alpha1, mu0v, tols_lo, knobs, ov_vals,
-            (rtol, atol))
+            (rtol, atol), d0p)
         return BatchResult(x=xh, h=hh, mu=muh, iterations=count,
                            converged=done, primal_residual=pbuf,
                            dual_residual=dbuf)

@@ -8,6 +8,8 @@ spectral analogue of the reference's elementwise soft-threshold,
 matrices (e.g. video frames, per-sensor windows) in one compiled graph
 with per-instance ``Y`` through the offset batch field.
 """
+import os
+
 import numpy as np
 
 from admmsolver_tpu import SimpleOptimizer
@@ -23,12 +25,16 @@ def make_instance(rng, m=40, n=30, rank=3, p_corrupt=0.05):
     return L0, S0, L0 + S0
 
 
-def main():
+def main(small=None):
+    if small is None:
+        small = os.environ.get("ADMM_EXAMPLES_SMALL") == "1"
+    niter = 300 if small else 1500
     rng = np.random.RandomState(0)
-    L0, S0, Y = make_instance(rng)
+    L0, S0, Y = make_instance(rng, m=12, n=10) if small \
+        else make_instance(rng)
 
     opt = SimpleOptimizer(rpca_model(Y))
-    opt.solve(1500)
+    opt.solve(niter)
     L = np.asarray(opt.x[0]).real.reshape(Y.shape)
     S = Y - L
     sv = np.linalg.svd(L, compute_uv=False)
@@ -39,11 +45,12 @@ def main():
           f"{np.mean((np.abs(S) > 0.1) != (np.abs(S0) > 0)):.4f}")
 
     # batched: one compiled graph, per-instance Y
-    B = 8
-    inst = [make_instance(rng) for _ in range(B)]
+    B = 3 if small else 8
+    inst = [make_instance(rng, m=12, n=10) if small else
+            make_instance(rng) for _ in range(B)]
     Ys = np.stack([Y_ for (_, _, Y_) in inst])
     bs = BatchedSolver(rpca_model(Ys[0]))
-    res = bs.solve({(1, "offset"): Ys.reshape(B, -1)}, niter=1500,
+    res = bs.solve({(1, "offset"): Ys.reshape(B, -1)}, niter=niter,
                    record_residuals=False)
     errs = [np.abs(np.asarray(res.x[0][b]).reshape(Ys[0].shape)
                    - inst[b][0]).max() / np.abs(inst[b][0]).max()

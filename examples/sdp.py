@@ -9,6 +9,8 @@ reference loops Python-level ``np.linalg.eigh`` per slice,
 Runs a single instance, then a batch of noisy replicas in one compiled
 graph.
 """
+import os
+
 import numpy as np
 
 from admmsolver_tpu import SimpleOptimizer
@@ -16,8 +18,11 @@ from admmsolver_tpu.models.applications import sdp_model
 from admmsolver_tpu.parallel import BatchedSolver
 
 
-def main():
-    k, rest = 8, 16          # 16 PSD slices of 8x8
+def main(small=None):
+    if small is None:
+        small = os.environ.get("ADMM_EXAMPLES_SMALL") == "1"
+    k, rest = (4, 4) if small else (8, 16)   # PSD slices of k x k
+    niter = 300 if small else 2000
     shape = (k, k, rest)
     N = k * k * rest
     M = 2 * N                # overdetermined: recovery is well-posed
@@ -35,7 +40,7 @@ def main():
 
     # -- single instance ------------------------------------------------
     opt = SimpleOptimizer(model)
-    opt.solve(2000, rtol=1e-10)
+    opt.solve(niter, rtol=1e-10)
     x = np.asarray(opt.x[1]).reshape(shape)
     lam_min = np.linalg.eigvalsh(np.moveaxis(x, 2, 0)).min()
     err = np.abs(x - xtrue).max()
@@ -43,10 +48,10 @@ def main():
           f"max err {err:.2e}, min eigenvalue {lam_min:+.1e}")
 
     # -- batch of noisy replicas in one compiled solve -------------------
-    B = 64
+    B = 8 if small else 64
     ys = (A @ xtrue.reshape(-1))[None, :] + 0.01 * rng.randn(B, M)
     bs = BatchedSolver(model)
-    res = bs.solve({(0, "y"): ys}, niter=2000, rtol=1e-10)
+    res = bs.solve({(0, "y"): ys}, niter=niter, rtol=1e-10)
     xb = np.asarray(res.x[1]).reshape(B, *shape)
     lam_min = np.linalg.eigvalsh(np.moveaxis(xb, 3, 1)).min()
     print(f"batch:   {B} instances, "

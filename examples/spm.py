@@ -6,6 +6,8 @@ noisy imaginary-time kernel data via the three-block model:
 ConstrainedLeastSquares (sum rule) + L1 sparsity + NonNegativity through
 the real-frequency projector.
 """
+import os
+
 import numpy as np
 
 from admmsolver_tpu import SimpleOptimizer
@@ -13,13 +15,16 @@ from admmsolver_tpu.models.applications import spm_model, synthetic_spm_data
 from admmsolver_tpu.utils import convergence_report
 
 
-def main():
+def main(small=None):
+    if small is None:
+        small = os.environ.get("ADMM_EXAMPLES_SMALL") == "1"
+    nl, nw, niter = (12, 25, 500) if small else (30, 61, 10000)
     s, g, prj_sum, prj_w, omega, rho_true = synthetic_spm_data(
-        nl=30, nw=61, noise=1e-5)
+        nl=nl, nw=nw, noise=1e-5)
 
     model = spm_model(s, g, prj_sum, prj_w, alpha_l1=1e-5, sum_value=1.0)
     opt = SimpleOptimizer(model, mu=0.1)
-    opt.solve(10000)
+    opt.solve(niter)
 
     rho = np.asarray(opt.x[2]).real
     rep = convergence_report(opt._primal_residual, opt._dual_residual)
