@@ -208,7 +208,8 @@ def robust_regression_model(A, y, delta: float = 1.0,
         [(0, 1, A, identity(M))])
 
 
-def rpca_model(Y, lam: Optional[float] = None) -> Model:
+def rpca_model(Y, lam: Optional[float] = None,
+               svd_method: str = "auto") -> Model:
     """Robust PCA: ``min_L ||L||_* + lam |Y - L|_1`` — decompose ``Y``
     into a low-rank part ``L = x0`` and a sparse part ``S = Y - L``
     (additive model family; exercises the spectral
@@ -228,7 +229,7 @@ def rpca_model(Y, lam: Optional[float] = None) -> Model:
         lam = 1.0 / np.sqrt(max(m, n))
     mn = m * n
     return Model(
-        [NuclearNormPenalty(1.0, (m, n)),
+        [NuclearNormPenalty(1.0, (m, n), svd_method=svd_method),
          L1Regularizer(lam, mn, offset=Y.reshape(mn))],
         [(1, 0, identity(mn), identity(mn))])
 

@@ -842,18 +842,45 @@ class NuclearNormPenalty(ObjectiveFunctionBase):
         if "alpha" in updates:
             self._alpha = updates["alpha"]
 
-    def __init__(self, alpha: float, shape: Sequence) -> None:
+    def __init__(self, alpha: float, shape: Sequence,
+                 svd_method: str = "auto") -> None:
         assert alpha > 0
+        assert svd_method in ("auto", "xla", "gram"), svd_method
         m, n = (int(s) for s in shape)
         super().__init__(m * n)
         self._alpha = alpha
         self._mn = (m, n)
+        self._svd_method = svd_method
         # fully uniform penalty required; verified at ADMMPlan build
         self.uniform_mu_group = m * n
 
+    def _svd(self, X):
+        """Backend-aware thin SVD.
+
+        ``auto``: XLA's SVD where it is exact and loop-friendly (CPU);
+        on TPU, real matrices with min(m, n) <= 64 use the Gram-eigh
+        route (:func:`~admmsolver_tpu.ops.linop.svd_via_gram`) — the
+        axon backend's SVD inside a vmapped solver loop is the same
+        pathology class as its eigh (``benches/svd_tpu_probe.py``), and
+        the Gram route is two MXU GEMMs plus the loop-body-safe Jacobi
+        eigendecomposition.  Its ~sqrt(eps)·s_max floor on small
+        singular values sits exactly in the soft-threshold's dead zone.
+        """
+        method = self._svd_method
+        if method == "auto":
+            method = ("gram" if (jax.default_backend() == "tpu"
+                                 and not jnp.iscomplexobj(X)
+                                 and min(self._mn) <= 64)
+                      else "xla")
+        if method == "gram":
+            from ..ops.linop import svd_via_gram
+
+            return svd_via_gram(X)
+        return jnp.linalg.svd(X, full_matrices=False)
+
     def __call__(self, x) -> float:
         X = jnp.reshape(x, x.shape[:-1] + self._mn)
-        s = jnp.linalg.svd(X, compute_uv=False)
+        s = self._svd(X)[1]
         val = self._alpha * jnp.sum(s)
         return float(val) if not isinstance(val, jax.core.Tracer) else val
 
@@ -878,7 +905,7 @@ class NuclearNormPenalty(ObjectiveFunctionBase):
         # per-lane scalar penalty (uniform by contract)
         mu0 = jnp.reshape(jnp.broadcast_to(mu_diag, v.shape),
                           v.shape)[..., 0]
-        U, s, Vh = jnp.linalg.svd(X, full_matrices=False)
+        U, s, Vh = self._svd(X)
         s2 = jnp.maximum(s - (0.5 * self._alpha / mu0)[..., None], 0.0)
         Xp = jnp.matmul(U * s2[..., None, :], Vh)
         return jnp.reshape(Xp, v.shape)

@@ -204,15 +204,20 @@ def jacobi_eigh(a, sweeps: Optional[int] = None, sort: bool = True):
     """
     if jnp.iscomplexobj(a):
         # The rotation angle below (arctan2) silently takes real parts;
-        # complex-Hermitian inputs need jnp.linalg.eigh.
+        # complex-Hermitian inputs need jnp.linalg.eigh (or the realify
+        # embedding, see ops.prox.psd_project).
         raise TypeError("jacobi_eigh supports real symmetric input only; "
                         "use jnp.linalg.eigh for complex Hermitian blocks")
     n = a.shape[-1]
     if n > 16:
-        # The fixed sweep budget (and the trace unroll size) is validated
-        # only up to n=16 (tests/test_linop.py); larger blocks belong to
-        # jnp.linalg.eigh, which is batched-friendly standalone.
-        raise ValueError(f"jacobi_eigh is limited to n <= 16, got n={n}")
+        # Larger blocks use the scan-rolled schedule: identical per-round
+        # math, O(1) trace size (the unrolled trace below would be
+        # sweeps·(n−1) rounds).  Beyond 64, standalone jnp.linalg.eigh
+        # is the right tool.
+        if n <= 64:
+            return _jacobi_eigh_scan(a, sweeps=sweeps, sort=sort)
+        raise ValueError(f"jacobi_eigh is limited to n <= 64, got n={n}; "
+                         "use jnp.linalg.eigh")
     if n == 1:
         w = a[..., 0]
         v = jnp.ones_like(a)
@@ -303,6 +308,157 @@ def jacobi_eigh(a, sweeps: Optional[int] = None, sort: bool = True):
         w = jnp.take_along_axis(w, o, axis=-1)
         v = jnp.take_along_axis(v, o[..., None, :], axis=-1)
     return w, v
+
+
+def _jacobi_eigh_scan(a, sweeps: Optional[int] = None, sort: bool = True):
+    """Scan-rolled parallel-order Jacobi for 16 < n <= 64.
+
+    Same per-round math as the unrolled :func:`jacobi_eigh` (n/2 disjoint
+    Givens rotations on contiguous position pairs, full-width elementwise
+    VPU code), but the round-robin schedule is driven by a
+    ``lax.fori_loop`` instead of a trace-time unroll.  This works because
+    the circle-method schedule has a FIXED inter-round relabeling: with
+    the matrix kept in the "paired" layout (round pairs at positions
+    (2i, 2i+1)), moving from any round's layout to the next is the SAME
+    static permutation ``pi`` — verified for every even n, including the
+    wraparound from the last round of a sweep back to the first.  The
+    loop body is therefore identical each round (rotate pairs, permute
+    by ``pi``: static gathers + elementwise math, no data-dependent
+    control flow), giving an O(1) trace that stays loop-body-safe under
+    vmap inside the solver ``while_loop`` — the regime where XLA's eigh
+    degrades ~1000× (benches/sdp_ablate2.py).  Extends the PSD prox past
+    the round-3 n <= 16 ceiling (reference projects arbitrary slice
+    sizes, ``objectivefunc.py:322-327``).
+    """
+    n = a.shape[-1]
+    odd = n % 2 == 1
+    if odd:
+        # decoupled strictly-dominant dummy dimension (see jacobi_eigh)
+        big = 1.0 + jnp.sum(jnp.abs(a), axis=(-2, -1), keepdims=True)
+        zcol = jnp.zeros(a.shape[:-1] + (1,), dtype=a.dtype)
+        a = jnp.concatenate([a, zcol], axis=-1)
+        last = jnp.concatenate(
+            [jnp.zeros(a.shape[:-2] + (1, n), dtype=a.dtype),
+             jnp.broadcast_to(big, a.shape[:-2] + (1, 1))], axis=-1)
+        a = jnp.concatenate([a, last], axis=-2)
+        n += 1
+    if sweeps is None:
+        # quadratic convergence once off(A) is small; the budget grows
+        # slowly with n (validated to ~n·eps reconstruction error in
+        # tests/test_linop.py at n = 17..64)
+        sweeps = 12 if n <= 32 else 14
+    m = n // 2
+
+    # Round-0 paired layout and the fixed inter-round permutation.
+    arr = list(range(n))
+    d0 = [lab for i in range(m) for lab in (arr[i], arr[n - 1 - i])]
+    arr1 = [arr[0], arr[-1]] + arr[1:-1]
+    d1 = [lab for i in range(m) for lab in (arr1[i], arr1[n - 1 - i])]
+    pos0 = {lab: i for i, lab in enumerate(d0)}
+    pi = np.asarray([pos0[lab] for lab in d1])
+    P0 = np.asarray(d0)
+
+    a = jnp.take(jnp.take(a, P0, axis=-1), P0, axis=-2)
+    v = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+    v = jnp.take(v, P0, axis=-1)  # rows: original labels; cols: paired
+
+    def round_body(_, av):
+        a, v = av
+        blk = a.reshape(a.shape[:-2] + (m, 2, m, 2))
+        d = jnp.diagonal(blk, axis1=-4, axis2=-2)  # (..., 2, 2, m)
+        app, aqq = d[..., 0, 0, :], d[..., 1, 1, :]
+        apq = d[..., 0, 1, :]
+        # inner-root angle |θ| <= π/4 (see jacobi_eigh)
+        th = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+        th = th - jnp.where(jnp.abs(th) > np.pi / 4,
+                            jnp.sign(th) * (np.pi / 2), 0.0)
+        c, s = jnp.cos(th), jnp.sin(th)
+
+        def rot_cols(x):
+            xc = x.reshape(x.shape[:-1] + (m, 2))
+            cc = c[..., None, :]
+            ss = s[..., None, :]
+            x0, x1 = xc[..., 0], xc[..., 1]
+            return jnp.stack(
+                [x0 * cc - x1 * ss, x0 * ss + x1 * cc],
+                axis=-1).reshape(x.shape)
+
+        a = rot_cols(a)
+        ar = a.reshape(a.shape[:-2] + (m, 2, n))
+        cc = c[..., :, None]
+        ss = s[..., :, None]
+        r0, r1 = ar[..., 0, :], ar[..., 1, :]
+        a = jnp.stack([r0 * cc - r1 * ss, r0 * ss + r1 * cc],
+                      axis=-2).reshape(a.shape[:-2] + (n, n))
+        v = rot_cols(v)
+        # advance to the next round's paired layout (static gathers)
+        a = jnp.take(jnp.take(a, pi, axis=-1), pi, axis=-2)
+        v = jnp.take(v, pi, axis=-1)
+        return a, v
+
+    a, v = jax.lax.fori_loop(0, sweeps * (n - 1), round_body, (a, v))
+    # the wraparound permutation returns layout to d0 after each full
+    # sweep; undo the initial pairing permutation
+    inv = np.argsort(P0)
+    a = jnp.take(jnp.take(a, inv, axis=-1), inv, axis=-2)
+    v = jnp.take(v, inv, axis=-1)
+    if odd:
+        n -= 1
+        a = a[..., :n, :n]
+        v = v[..., :n, :n]
+    w = jnp.diagonal(a, axis1=-2, axis2=-1)
+    if sort:
+        o = jnp.argsort(w, axis=-1)
+        w = jnp.take_along_axis(w, o, axis=-1)
+        v = jnp.take_along_axis(v, o[..., None, :], axis=-1)
+    return w, v
+
+
+def svd_via_gram(x, eigh_fn=None):
+    """Thin SVD of ``(..., m, n)`` real matrices via a symmetric
+    eigendecomposition of the SMALLER Gram matrix.
+
+    ``U, s, Vh`` with ``x ≈ U @ diag(s) @ Vh``, ``s`` descending —
+    the layout of ``jnp.linalg.svd(x, full_matrices=False)``.  MXU-native
+    replacement for XLA's SVD inside compiled solver loops: two GEMMs
+    plus one symmetric eigh of the min(m, n)-sized Gram, which for
+    min(m, n) <= 64 is the loop-body-safe :func:`jacobi_eigh`
+    (``benches/svd_tpu_probe.py`` measures the in-loop gap on hardware).
+
+    Accuracy: squaring the spectrum floors small singular values at
+    ``~sqrt(eps)·s_max``; exactly the region the nuclear-norm
+    soft-threshold (its only engine consumer,
+    ``NuclearNormPenalty.prox_diag``) zeroes anyway.  Null-space columns
+    are regularized by dividing by ``max(s, tiny)`` — their contribution
+    is annihilated by the thresholded singular values.
+    """
+    if jnp.iscomplexobj(x):
+        raise TypeError("svd_via_gram supports real input only")
+    m, n = x.shape[-2], x.shape[-1]
+    if eigh_fn is None:
+        eigh_fn = (jacobi_eigh if min(m, n) <= 64
+                   else jnp.linalg.eigh)
+    hi = jax.lax.Precision.HIGHEST
+    xt = x.swapaxes(-1, -2)
+    if n <= m:
+        g = jnp.matmul(xt, x, precision=hi)              # (n, n)
+        w, V = eigh_fn(g)                                # ascending
+        w = w[..., ::-1]
+        V = V[..., ::-1]
+        s = jnp.sqrt(jnp.maximum(w, 0.0))
+        floor = jnp.finfo(x.dtype).tiny ** 0.5
+        U = jnp.matmul(x, V, precision=hi) / jnp.maximum(
+            s, floor)[..., None, :]
+        return U, s, V.swapaxes(-1, -2)
+    g = jnp.matmul(x, xt, precision=hi)                  # (m, m)
+    w, U = eigh_fn(g)
+    w = w[..., ::-1]
+    U = U[..., ::-1]
+    s = jnp.sqrt(jnp.maximum(w, 0.0))
+    floor = jnp.finfo(x.dtype).tiny ** 0.5
+    Vh = jnp.matmul((U / jnp.maximum(s, floor)[..., None, :]).swapaxes(
+        -1, -2), x, precision=hi)
+    return U, s, Vh
 
 
 class MatrixBase:

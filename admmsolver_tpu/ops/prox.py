@@ -47,26 +47,59 @@ def psd_project(x, shape, axis):
     lo = jnp.tril(x3, -1)
     eye = jnp.eye(x3.shape[-1], dtype=jnp.real(x3).dtype)
     herm = lo + lo.conj().swapaxes(-1, -2) + jnp.real(x3) * eye
-    if not jnp.iscomplexobj(herm) and herm.shape[-1] <= 16:
-        # Straight-line unrolled Jacobi: XLA's eigh degrades ~1000x when
-        # traced inside a vmapped solver loop body (extra batch dims +
-        # nested while_loop; benches/sdp_ablate2.py) while this lowers
-        # identically anywhere.  Projection is sort-invariant.
+    proj = _psd_project_herm(herm)
+    return jnp.moveaxis(proj, 0, axis).ravel()
+
+
+def _psd_project_herm(herm):
+    """PSD projection of exactly-Hermitian slices ``(K, n, n)``.
+
+    Real n <= 64: the loop-body-safe Jacobi eigendecomposition (unrolled
+    for n <= 16, scan-rolled above — XLA's eigh degrades ~1000x when
+    traced inside a vmapped solver loop body, benches/sdp_ablate2.py).
+    Complex Hermitian n <= 32: the realify embedding ``H = X + iY ->
+    R = [[X, -Y], [Y, X]]`` — a *-isomorphism, so spectral functions
+    commute with it: project the real symmetric 2n x 2n embedding with
+    the same Jacobi path and map back.  All-real arithmetic (the TPU
+    backend has no complex support, CLAUDE.md) and slice sizes up to
+    2n = 64.  Anything larger: batched ``jnp.linalg.eigh``.
+    """
+    n = herm.shape[-1]
+    if jnp.iscomplexobj(herm):
+        if n <= 32:
+            X, Y = jnp.real(herm), jnp.imag(herm)
+            top = jnp.concatenate([X, -Y], axis=-1)
+            bot = jnp.concatenate([Y, X], axis=-1)
+            R = jnp.concatenate([top, bot], axis=-2)     # (K, 2n, 2n)
+            Rp = _psd_project_herm(R)
+            Xp = 0.5 * (Rp[..., :n, :n] + Rp[..., n:, n:])
+            Yp = 0.5 * (Rp[..., n:, :n] - Rp[..., :n, n:])
+            return Xp + 1j * Yp
+        evals, evecs = jnp.linalg.eigh(herm)
+        evals = jnp.maximum(evals, 0.0)
+        return jnp.einsum("kij,kj,klj->kil", evecs, evals, evecs.conj())
+    if n <= 64:
         from .linop import jacobi_eigh
 
         evals, evecs = jacobi_eigh(herm, sort=False)
         evals = jnp.maximum(evals, 0.0)
-        # Rebuild V diag(w) V^T on the VPU as broadcast-multiply +
-        # reduce, NOT einsum/dot_general: batched tiny contractions
-        # lower to f64-emulated GEMM loops that cost ~100x more than
-        # the elementwise form (BENCH_NOTES lesson 6 — this one op was
-        # 7.7 of the 8.6 ms/iter of the f64 SDP engine).  The (K,n,n,n)
-        # intermediate is tiny for the n <= 16 blocks this path serves.
-        scaled = evecs * evals[..., None, :]            # (K, i, j)
-        proj = jnp.sum(scaled[..., :, None, :] * evecs[..., None, :, :],
-                       axis=-1)                         # (K, i, l)
-    else:
-        evals, evecs = jnp.linalg.eigh(herm)
-        evals = jnp.maximum(evals, 0.0)
-        proj = jnp.einsum("kij,kj,klj->kil", evecs, evals, evecs.conj())
-    return jnp.moveaxis(proj, 0, axis).ravel()
+        if n <= 16:
+            # Rebuild V diag(w) V^T on the VPU as broadcast-multiply +
+            # reduce, NOT einsum/dot_general: batched TINY contractions
+            # lower to f64-emulated GEMM loops that cost ~100x more than
+            # the elementwise form (BENCH_NOTES lesson 6 — this one op
+            # was 7.7 of the 8.6 ms/iter of the f64 SDP engine).  The
+            # (K,n,n,n) intermediate is tiny for n <= 16.
+            scaled = evecs * evals[..., None, :]            # (K, i, j)
+            return jnp.sum(
+                scaled[..., :, None, :] * evecs[..., None, :, :],
+                axis=-1)                                    # (K, i, l)
+        # n = 17..64: the (K,n,n,n) elementwise intermediate no longer
+        # fits comfortably (n=64, K=4096, f64 -> 8 GB); a batched GEMM
+        # at this size is substantial enough for the MXU.
+        return jnp.matmul(evecs * evals[..., None, :],
+                          evecs.swapaxes(-1, -2),
+                          precision="highest")
+    evals, evecs = jnp.linalg.eigh(herm)
+    evals = jnp.maximum(evals, 0.0)
+    return jnp.einsum("kij,kj,klj->kil", evecs, evals, evecs.conj())
