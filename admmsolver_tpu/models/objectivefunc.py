@@ -375,9 +375,28 @@ class LeastSquares(_ShiftedQuadratic, ObjectiveFunctionBase):
     """``alpha * ||y - A x||_2^2`` (reference ``objectivefunc.py:56-110``)."""
 
     is_quadratic = True
-    batch_fields = ("alpha", "y", "Acy")
+    batch_fields = ("alpha", "y", "Acy", "A")
 
     def _apply_updates(self, updates: dict) -> None:
+        if "A" in updates:
+            # Per-instance operator batching (the reference solves one
+            # SimpleOptimizer per problem with arbitrary operators,
+            # optimizer.py:121-152; here a different dense A per lane
+            # rides the vmapped clone machinery).  The traced A disables
+            # the shared spectral path (_spectral_inner sees no concrete
+            # Gram), so factors fall through to the per-lane
+            # inv_hpd_schur dense inverse — the batched runtime enforces
+            # n <= 128 for exactly this reason (HBM invariant: no
+            # per-lane dense factor state at B>=1k x N>=512).  All the
+            # derived products below are traced lazily: unused ones
+            # (e.g. _AcA inside the sweep body) are dead-code-eliminated
+            # by XLA, so only the factor boundary pays for them.
+            self._A = asmatrixtype(jnp.asarray(updates["A"]))
+            self._Ac = self._A.conjugate().T
+            self._AcA = matmul(self._Ac, self._A)
+            self._Acy = self._Ac @ self._y
+            self._eig = None
+            self._eig_thin = None
         if "alpha" in updates:
             self._alpha = updates["alpha"]
         if "y" in updates:
@@ -442,7 +461,7 @@ class ConstrainedLeastSquares(LeastSquares):
     """``alpha * ||y - A x||² s.t. C x = D`` exactly, by Lagrange block
     elimination (reference ``objectivefunc.py:113-157``)."""
 
-    batch_fields = ("alpha", "y", "Acy", "D")
+    batch_fields = ("alpha", "y", "Acy", "D", "A")
 
     def _apply_updates(self, updates: dict) -> None:
         D = updates.pop("D", None)

@@ -51,6 +51,12 @@ def psd_project(x, shape, axis):
     return jnp.moveaxis(proj, 0, axis).ravel()
 
 
+# Jacobi-vs-XLA-eigh dispatch ceiling for the real PSD projection.
+# Module-level so hardware A/B benches (benches/sdp_k32_ab.py) can force
+# either path; 64 is the validated envelope of the scan-rolled Jacobi.
+JACOBI_MAX_N = 64
+
+
 def _psd_project_herm(herm):
     """PSD projection of exactly-Hermitian slices ``(K, n, n)``.
 
@@ -78,7 +84,7 @@ def _psd_project_herm(herm):
         evals, evecs = jnp.linalg.eigh(herm)
         evals = jnp.maximum(evals, 0.0)
         return jnp.einsum("kij,kj,klj->kil", evecs, evals, evecs.conj())
-    if n <= 64:
+    if n <= JACOBI_MAX_N:
         from .linop import jacobi_eigh
 
         evals, evecs = jacobi_eigh(herm, sort=False)

@@ -166,6 +166,27 @@ class BatchedSolver:
                     f"override {(k, field)} must have a leading batch "
                     f"axis, got a scalar; wrap per-instance scalars as a "
                     f"(B,) array")
+            if field == "A":
+                # Per-instance operators force per-lane dense factors
+                # ((B, n, n) inverses via inv_hpd_schur).  The HBM
+                # invariant (CLAUDE.md): no per-lane dense factor state
+                # at B>=1k x N>=512 — a 16 GB chip OOMs.  n <= 128 keeps
+                # the factor state small AND inside inv_hpd_schur's
+                # straight-line envelope (XLA's batched Cholesky costs
+                # ~1 s/call in any dtype, BENCH_NOTES lesson 7).
+                if f.size_x > 128:
+                    raise ValueError(
+                        f"per-instance A batching is limited to blocks "
+                        f"with n <= 128 (block {k} has n={f.size_x}): "
+                        "per-lane dense factors at larger n violate the "
+                        "HBM budget; shard instances over SimpleOptimizer"
+                        " runs or use rowshard for large single problems")
+                want = getattr(f, "_A").shape
+                if tuple(np.shape(val)[1:]) != tuple(want):
+                    raise ValueError(
+                        f"override {(k, 'A')} must be (B, {want[0]}, "
+                        f"{want[1]}) matching the template operator, got "
+                        f"{np.shape(val)}")
             b = np.shape(val)[0]
             if batch is None:
                 batch = b
@@ -185,6 +206,10 @@ class BatchedSolver:
         for (k, field) in list(out.keys()):
             if field == "y":
                 f = self.model.functions[k]
+                if (k, "A") in out:
+                    # A†y must use the PER-INSTANCE operator, not the
+                    # template's
+                    f = f.clone_with(A=out[(k, "A")])
                 if hasattr(f, "_Ac"):
                     out[(k, "Acy")] = f._Ac @ jnp.asarray(out[(k, field)])
         return out

@@ -4,8 +4,10 @@ backend (TPU under axon; CPU otherwise).
 Prints one JSON line per config: batched instance-iterations/s, plus a
 workload-specific correctness figure so a throughput number can never
 hide a broken solve.  ``python benches/bench_workloads.py [config ...]``
-with configs from {bp, lasso, spm, spmf, sdp, lpath}; default all
-(spmf = just the fused-mixed SpM row, for cheap re-measurement).
+with configs from {bp, lasso, spm, spmf, sdp, sdp32, rpca, glasso,
+huber, lpath}; default runs the five BASELINE configs (spmf = just the
+fused-mixed SpM row; sdp32/rpca/glasso/huber are the round-4 extended
+rows — run them by name).
 
 The headline driver benchmark stays ``bench.py`` (basis pursuit only).
 """
@@ -276,6 +278,141 @@ def bench_sdp(dtype):
           ref_ips=ref)
 
 
+def bench_sdp32(dtype):
+    """SDP with k=32 slices: the scan-rolled Jacobi PSD prox vs the
+    vmapped XLA-eigh fallback (round-3 ceiling was k <= 16; the
+    reference projects any slice size, objectivefunc.py:322-327).
+    Emits an A/B pair so the dispatch win is measured, not assumed."""
+    import jax.numpy as jnp
+
+    from admmsolver_tpu.models.applications import sdp_model
+    from admmsolver_tpu.ops import prox as prox_mod
+    from admmsolver_tpu.parallel import BatchedSolver
+
+    k, rest, B, niter = 32, 4, 64, 100
+    shape = (k, k, rest)
+    N = k * k * rest
+    M = N // 2
+    rng = np.random.RandomState(6)
+    A = rng.randn(M, N)
+    xt = np.zeros(shape)
+    for r in range(rest):
+        Q = rng.randn(k, k)
+        xt[:, :, r] = Q @ Q.T / k
+    y = A @ xt.reshape(-1)
+    ys = y[None, :] + 1e-4 * rng.randn(B, M)
+    ov = {(0, "y"): jnp.asarray(ys, dtype=dtype)}
+    ref = _ref_rate(lambda ref: _ref_sdp(ref, A, y, shape, 2), niter=10)
+
+    for label, ceil in (("jacobi", 64), ("xla_eigh", 16)):
+        old = prox_mod.JACOBI_MAX_N
+        prox_mod.JACOBI_MAX_N = ceil
+        try:
+            model = sdp_model(A, y, shape, axis=2)
+            bs = BatchedSolver(model, dtype=dtype)
+            res, dt = _time_solve(lambda: bs.solve(
+                ov, niter=niter, rtol=0.0, record_residuals=False),
+                repeats=1)
+            X = np.asarray(res.x[1], np.float64).reshape(B, *shape)
+            lam_min = np.linalg.eigvalsh(
+                np.moveaxis(X, (1, 2), (-2, -1))).min()
+            _emit(f"sdp_k32_{label}", B, niter, dt,
+                  {"min_eigenvalue_psd_block": round(float(lam_min), 9)},
+                  ref_ips=ref)
+        finally:
+            prox_mod.JACOBI_MAX_N = old
+
+
+def bench_rpca(dtype):
+    """Robust PCA (round-3 model family, first hardware row): batched
+    nuclear-norm + offset-L1 decomposition.  The SVD route is the
+    Gram-eigh path on TPU — f32 jnp.linalg.svd SIGABRTs the TPU
+    compiler and f64 is 9.7x slower in-loop (benches/svd_tpu_probe.py).
+    No vs_baseline: the reference cannot express a nuclear-norm block.
+    """
+    import jax.numpy as jnp
+
+    from admmsolver_tpu.models.applications import rpca_model
+    from admmsolver_tpu.parallel import BatchedSolver
+
+    m, n, B, niter = 32, 32, 256, 200
+    rng = np.random.RandomState(7)
+    L0 = rng.randn(B, m, 3) @ rng.randn(3, n)
+    Ys = L0.copy()
+    mask = rng.rand(B, m, n) < 0.05
+    Ys[mask] += 6.0 * rng.randn(int(mask.sum()))
+    bs = BatchedSolver(rpca_model(Ys[0]), dtype=dtype)
+    ov = {(1, "offset"): jnp.asarray(Ys.reshape(B, -1), dtype=dtype)}
+    res, dt = _time_solve(lambda: bs.solve(
+        ov, niter=niter, rtol=0.0, record_residuals=False), repeats=1)
+    L = np.asarray(res.x[0], np.float64).reshape(B, m, n)
+    rel = np.abs(L - L0).max() / np.abs(L0).max()
+    sv = np.linalg.svd(L, compute_uv=False)
+    rank = int(np.median((sv > 1e-3 * sv[:, :1]).sum(axis=1)))
+    _emit("rpca_nuclear", B, niter, dt,
+          {"max_rel_err_L": round(float(rel), 4),
+           "median_effective_rank": rank, "ref": "inexpressible"})
+
+
+def bench_group_lasso(dtype):
+    """Group lasso (round-3 model family, first hardware row): block-
+    sparse recovery, group soft-threshold prox.  No vs_baseline: the
+    reference has no group-L1 objective."""
+    import jax.numpy as jnp
+
+    from admmsolver_tpu.models.applications import group_lasso_model
+    from admmsolver_tpu.parallel import BatchedSolver
+
+    M, N, gs, B, niter = 256, 512, 8, 1024, 200
+    rng = np.random.RandomState(8)
+    A = rng.randn(M, N)
+    xt = np.zeros(N)
+    on = rng.choice(N // gs, 6, replace=False)
+    for g in on:
+        xt[g * gs:(g + 1) * gs] = rng.randn(gs)
+    ys = (A @ xt)[None, :] + 0.01 * rng.randn(B, M)
+    bs = BatchedSolver(group_lasso_model(A, ys[0], 0.5, gs), dtype=dtype)
+    ov = {(0, "y"): jnp.asarray(ys, dtype=dtype)}
+    res, dt = _time_solve(lambda: bs.solve(
+        ov, niter=niter, rtol=0.0, record_residuals=False), repeats=1)
+    X = np.asarray(res.x[1], np.float64)
+    gn = np.sqrt((X.reshape(B, -1, gs) ** 2).sum(-1))
+    active = gn > 1e-3 * np.abs(X).max()
+    hit = float((active[:, on].all(axis=1)).mean())
+    _emit("group_lasso", B, niter, dt,
+          {"support_recovery_rate": round(hit, 3),
+           "median_active_groups": int(np.median(active.sum(axis=1))),
+           "ref": "inexpressible"})
+
+
+def bench_huber(dtype):
+    """Huber robust regression (round-3 model family, first hardware
+    row): outlier-resistant fit through a non-identity A coupling.  No
+    vs_baseline: the reference has no Huber objective."""
+    import jax.numpy as jnp
+
+    from admmsolver_tpu.models.applications import robust_regression_model
+    from admmsolver_tpu.parallel import BatchedSolver
+
+    M, N, B, niter = 256, 128, 1024, 200
+    rng = np.random.RandomState(9)
+    A = rng.randn(M, N) / np.sqrt(M)
+    xt = rng.randn(N)
+    ys = (A @ xt)[None, :] + 0.01 * rng.randn(B, M)
+    out = rng.rand(B, M) < 0.05
+    ys = ys + out * 8.0 * rng.randn(B, M)
+    bs = BatchedSolver(robust_regression_model(A, ys[0], delta=0.1),
+                       dtype=dtype)
+    ov = {(1, "y"): jnp.asarray(ys, dtype=dtype)}
+    res, dt = _time_solve(lambda: bs.solve(
+        ov, niter=niter, rtol=0.0, record_residuals=False), repeats=1)
+    X = np.asarray(res.x[0], np.float64)
+    err = float(np.abs(X - xt).max())
+    _emit("huber_regression", B, niter, dt,
+          {"max_coef_err_under_outliers": round(err, 4),
+           "ref": "inexpressible"})
+
+
 def bench_lpath(dtype):
     """Config 5: warm-started lambda-path sweep, 1024 values."""
     import jax.numpy as jnp
@@ -317,7 +454,9 @@ def main():
           flush=True)
     table = {"bp": bench_bp, "lasso": bench_lasso, "spm": bench_spm,
              "spmf": lambda d: bench_spm(d, rows=("fused",)),
-             "sdp": bench_sdp, "lpath": bench_lpath}
+             "sdp": bench_sdp, "sdp32": bench_sdp32,
+             "rpca": bench_rpca, "glasso": bench_group_lasso,
+             "huber": bench_huber, "lpath": bench_lpath}
     for n in names:
         table[n](dtype)
 

@@ -15,6 +15,16 @@ Measurements at the rpca example scale (B=64 matrices of 40x30):
 
 Prints one JSON line per measurement; run under ``timeout`` — a hang IS
 the failure mode being probed.  ``--cpu`` for a smoke run.
+
+Probe result (2026-08-21, axon/v5e): **f32 jnp.linalg.svd crashes the
+TPU compiler** (tpu_compile_helper SIGABRT) both standalone and inside
+the loop — the same hard-failure class as complex64.  f64 SVD compiles
+but is (a) only ~3e-7 accurate even standalone (XLA's TPU SVD is not a
+full-precision LAPACK path) and (b) 268.7 ms/iter traced inside the
+vmapped loop vs 27.8 ms/iter for the Gram route (9.7x); f32 Gram runs
+at 3.94 ms/iter.  Conclusion: ``NuclearNormPenalty``'s ``auto`` SVD
+dispatch (gram on TPU, exact LAPACK SVD elsewhere) is both necessary
+(f32) and faster + no less accurate (f64) on this backend.
 """
 import json
 import os

@@ -427,3 +427,72 @@ def test_solve_path_fused_strided_recording():
                         record_residuals=10)
     assert res.primal_residual.shape == (8, 4)
     assert np.isfinite(np.asarray(res.primal_residual)).all()
+
+
+# ------------------------------------------------- per-instance operators
+
+def test_batched_per_instance_A_matches_independent_solves():
+    """A different dense A per lane (the reference's one-optimizer-per-
+    problem generality, optimizer.py:121-152) through one compiled
+    batch: each lane must match its own SimpleOptimizer run."""
+    rng = np.random.RandomState(21)
+    M, N, B = 6, 10, 3
+    As = rng.randn(B, M, N)
+    ys = rng.randn(B, M)
+    bs = BatchedSolver(_bp_template(As[0], ys[0]))
+    res = bs.solve({(0, "A"): As, (0, "y"): ys}, niter=80)
+    for b in range(B):
+        o = SimpleOptimizer(_bp_template(As[b], ys[b]))
+        o.solve(80)
+        np.testing.assert_allclose(np.asarray(res.x[0][b]),
+                                   np.asarray(o.x[0]), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(res.x[1][b]),
+                                   np.asarray(o.x[1]), atol=1e-9)
+
+
+def test_batched_per_instance_A_constrained_ls():
+    """Per-lane SpM-style kernels: ConstrainedLeastSquares with a
+    different A per instance (e.g. per-temperature kernels) plus the
+    sum-rule constraint, vs independent reference-semantics runs."""
+    from admmsolver_tpu import (ConstrainedLeastSquares, L1Regularizer,
+                                NonNegativePenalty)
+
+    rng = np.random.RandomState(22)
+    M, N, B = 7, 9, 3
+    As = rng.randn(B, M, N)
+    ys = rng.randn(B, M)
+    C = np.ones((1, N))
+    D = np.ones(1)
+
+    def mk(A, y):
+        return Model(
+            [ConstrainedLeastSquares(1.0, A, y, C, D),
+             L1Regularizer(0.05, N), NonNegativePenalty(N)],
+            [(1, 0, identity(N), identity(N)),
+             (2, 0, identity(N), identity(N))])
+
+    bs = BatchedSolver(mk(As[0], ys[0]))
+    res = bs.solve({(0, "A"): As, (0, "y"): ys}, niter=120)
+    for b in range(B):
+        o = SimpleOptimizer(mk(As[b], ys[b]))
+        o.solve(120)
+        np.testing.assert_allclose(np.asarray(res.x[0][b]),
+                                   np.asarray(o.x[0]), atol=1e-8)
+        # hard constraint holds per lane
+        np.testing.assert_allclose(
+            C @ np.asarray(res.x[0][b]), D, atol=1e-8)
+
+
+def test_batched_per_instance_A_guards():
+    rng = np.random.RandomState(23)
+    M, N, B = 4, 6, 2
+    A = rng.randn(M, N)
+    bs = BatchedSolver(_bp_template(A, rng.randn(M)))
+    # wrong trailing shape
+    with pytest.raises(ValueError, match="matching the template"):
+        bs.solve({(0, "A"): rng.randn(B, M, N + 1)}, niter=5)
+    # n > 128 refuses per-lane dense factors (HBM invariant)
+    big = rng.randn(4, 200)
+    bs2 = BatchedSolver(_bp_template(big, rng.randn(4)))
+    with pytest.raises(ValueError, match="n <= 128"):
+        bs2.solve({(0, "A"): rng.randn(B, 4, 200)}, niter=5)
