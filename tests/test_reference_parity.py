@@ -236,3 +236,69 @@ def test_spd_penalty_parity(ref):
     xs = np.moveaxis(np.asarray(to.x[1]).reshape(shape), axis, 0)
     for sl in xs:
         assert np.linalg.eigvalsh(sl).min() >= -1e-10
+
+
+def test_tv_denoise_builder_parity(ref):
+    """tv_denoise_model composes reference-expressible blocks (LS data
+    fit + L1 through a difference coupling): its trajectory must match
+    the reference driving the same model (optimizer.py:302-341)."""
+    from admmsolver_tpu import SimpleOptimizer
+    from admmsolver_tpu.models.applications import tv_denoise_model
+
+    rng = np.random.RandomState(31)
+    n, lam, niter = 40, 0.3, 150
+    y = np.r_[np.zeros(n // 2), np.ones(n - n // 2)] + 0.1 * rng.randn(n)
+
+    t = SimpleOptimizer(tv_denoise_model(y, lam))
+    t.solve(niter)
+
+    D = np.zeros((n - 1, n))
+    idx = np.arange(n - 1)
+    D[idx, idx] = -1.0
+    D[idx, idx + 1] = 1.0
+    p = ref.opt.Model(
+        [ref.obj.LeastSquares(0.5, np.eye(n), y),
+         ref.obj.L1Regularizer(lam, n - 1)],
+        [(0, 1, ref.mat.DenseMatrix(D), ref.mat.identity(n - 1))])
+    r = ref.opt.SimpleOptimizer(p)
+    r.solve(niter)
+
+    assert len(r._primal_residual) == len(t._primal_residual)
+    np.testing.assert_allclose(t._primal_residual, r._primal_residual,
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(t._dual_residual, r._dual_residual,
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(t.x[0]), r.x[0].real,
+                               atol=1e-9)
+
+
+def test_bounded_lsq_nonneg_special_case_parity(ref):
+    """bounded_lsq_model with (lo=0, hi=inf) degenerates to the
+    reference's LS + NonNegativePenalty model (objectivefunc.py:
+    245-271): trajectories must coincide."""
+    from admmsolver_tpu import SimpleOptimizer
+    from admmsolver_tpu.models.applications import bounded_lsq_model
+
+    rng = np.random.RandomState(32)
+    M, N, niter = 12, 8, 150
+    A = rng.randn(M, N)
+    y = A @ np.abs(rng.randn(N)) + 0.05 * rng.randn(M)
+
+    t = SimpleOptimizer(bounded_lsq_model(A, y, lo=0.0, hi=np.inf))
+    t.solve(niter)
+
+    p = ref.opt.Model(
+        [ref.obj.LeastSquares(1.0, A, y),
+         ref.obj.NonNegativePenalty(N)],
+        [(1, 0, ref.mat.identity(N), ref.mat.identity(N))])
+    r = ref.opt.SimpleOptimizer(p)
+    r.solve(niter)
+
+    assert len(r._primal_residual) == len(t._primal_residual)
+    np.testing.assert_allclose(t._primal_residual, r._primal_residual,
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(t._dual_residual, r._dual_residual,
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(t.x[0]), r.x[0].real,
+                               atol=1e-10)
+    assert np.asarray(t.x[1]).min() >= 0
