@@ -20,6 +20,7 @@ from .ops.linop import (
     DiagonalMatrix,
     ScaledIdentityMatrix,
     PartialDiagonalMatrix,
+    BandedMatrix,
     identity,
     asmatrixtype,
     matrix_hash,

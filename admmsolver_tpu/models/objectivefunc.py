@@ -101,6 +101,21 @@ def _inv_hpd(m: MatrixBase) -> MatrixBase:
         return DenseMatrix(jax.scipy.linalg.cho_solve((c, low), eye))
     if isinstance(m, PartialDiagonalMatrix):
         return PartialDiagonalMatrix(_inv_hpd(m.matrix), m.rest_dims)
+    from ..ops.linop import BandedMatrix, inv_qr, tridiag_cr_factor
+
+    if isinstance(m, BandedMatrix):
+        if set(m.offsets) <= {-1, 0, 1}:
+            # Tridiagonal SPD (TV/stencil penalties): cyclic-reduction
+            # factor — O(N) state and O(N log N) straight-line solves,
+            # never a dense N x N inverse (see TridiagFactor).
+            n = m.shape[0]
+            z = jnp.zeros(n, dtype=m.bands.dtype)
+            get = {o: m.bands[k] for k, o in enumerate(m.offsets)}
+            return tridiag_cr_factor(get.get(-1, z), get.get(0, z),
+                                     get.get(1, z))
+        # wider bands: dense factor (correct, loses the O(N) scaling)
+        return DenseMatrix(inv_qr(m.asmatrix())) if m.shape[0] > 128 \
+            else DenseMatrix(inv_hpd_schur(m.asmatrix()))
     return m.inv()
 
 

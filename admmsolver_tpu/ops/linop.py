@@ -44,6 +44,10 @@ __all__ = [
     "ScaledIdentityMatrix",
     "PartialDiagonalMatrix",
     "InterleavedComplexDiagonalMatrix",
+    "BandedMatrix",
+    "TridiagFactor",
+    "tridiag_cr_factor",
+    "tridiag_cr_solve",
     "identity",
     "asmatrixtype",
     "matrix_hash",
@@ -975,6 +979,347 @@ class InterleavedComplexDiagonalMatrix(MatrixBase):
 # =====================================================================
 
 
+def _shift_fill(vec, s: int, out_len: int):
+    """``out[j] = vec[j - s]`` where defined, zero elsewhere (static
+    slicing + pad; the band-algebra workhorse)."""
+    lo = max(0, s)
+    hi = min(out_len, vec.shape[0] + s)
+    if hi <= lo:
+        return jnp.zeros((out_len,) + vec.shape[1:], dtype=vec.dtype)
+    seg = vec[lo - s:hi - s]
+    pad = [(lo, out_len - hi)] + [(0, 0)] * (vec.ndim - 1)
+    return jnp.pad(seg, pad)
+
+
+@jax.tree_util.register_pytree_node_class
+class BandedMatrix(MatrixBase):
+    """Banded operator stored as its diagonals — O(bandwidth · n) memory.
+
+    No reference counterpart as a *type*; it carries the structure-
+    exploitation ethos of the reference's matrix layer
+    (``matrix.py:301-401``) to stencil couplings (TV differences,
+    smoothness regularizers, ``utils.second_deriv_prj``) whose dense
+    Gram would be O(N²): with banded operators the ``Model`` precompute
+    ``EcE2 = D†D`` stays banded (band algebra below), and the ADMM
+    factor path solves the resulting tridiagonal systems by cyclic
+    reduction (:func:`tridiag_cr_factor`) in O(N log N) — no dense
+    N × N operator or factor ever materializes.
+
+    Storage: ``offsets`` — static, sorted, unique ints; ``bands`` of
+    shape ``(len(offsets), M)`` with ``bands[k, i] = A[i, i + offsets[k]]``
+    (row-indexed).  INVARIANT: positions whose column ``i + o`` falls
+    outside ``[0, N)`` are stored as zero — every constructor below
+    maintains it, and the band algebra relies on it.
+    """
+
+    def __init__(self, offsets, bands,
+                 shape: Optional[Tuple[int, int]] = None) -> None:
+        offsets = tuple(int(o) for o in offsets)
+        assert len(set(offsets)) == len(offsets), offsets
+        assert tuple(sorted(offsets)) == offsets, offsets
+        bands = _asarray(bands)
+        assert bands.ndim == 2 and bands.shape[0] == len(offsets), \
+            (bands.shape, offsets)
+        if shape is None:
+            shape = (bands.shape[1], bands.shape[1])
+        shape = (int(shape[0]), int(shape[1]))
+        assert bands.shape[1] == shape[0], (bands.shape, shape)
+        self.offsets = offsets
+        self.bands = bands
+        self.shape = shape
+        # enforce the out-of-range-is-zero invariant on concrete values;
+        # traced bands are trusted (internal callers maintain it)
+        cb = _concrete(bands)
+        if cb is not None:
+            M, N = shape
+            for k, o in enumerate(offsets):
+                lo = max(0, -o)
+                hi = min(M, N - o)
+                assert not (np.any(cb[k, :lo]) or np.any(cb[k, hi:])), (
+                    f"band at offset {o} has nonzero entries outside the "
+                    f"valid row range [{lo}, {hi})")
+
+    @staticmethod
+    def from_dense(a, offsets=None) -> "BandedMatrix":
+        """Extract bands from a (concrete) dense matrix; ``offsets``
+        defaults to every nonzero diagonal."""
+        a = np.asarray(a)
+        M, N = a.shape
+        if offsets is None:
+            offsets = [o for o in range(-M + 1, N)
+                       if np.any(np.diagonal(a, o))]
+            if not offsets:
+                offsets = [0]
+        bands = np.zeros((len(offsets), M), a.dtype)
+        for k, o in enumerate(sorted(int(o) for o in offsets)):
+            lo = max(0, -o)
+            hi = min(M, N - o)
+            if hi > lo:
+                bands[k, lo:hi] = np.diagonal(a, o)
+        return BandedMatrix(sorted(int(o) for o in offsets), bands,
+                            (M, N))
+
+    def tree_flatten(self):
+        return (self.bands,), (self.offsets, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.offsets, obj.shape = aux
+        obj.bands = children[0]
+        return obj
+
+    @property
+    def bandwidth(self) -> int:
+        return max(abs(o) for o in self.offsets)
+
+    def hash(self) -> int:
+        return hash((self.offsets, self.shape,
+                     matrix_hash(np.asarray(self.bands))))
+
+    def asmatrix(self):
+        M, N = self.shape
+        out = jnp.zeros((M, N), dtype=self.bands.dtype)
+        for k, o in enumerate(self.offsets):
+            lo = max(0, -o)
+            hi = min(M, N - o)
+            if hi > lo:
+                i = jnp.arange(lo, hi)
+                out = out.at[i, i + o].set(self.bands[k, lo:hi])
+        return out
+
+    to_dense = asmatrix
+
+    def _scale(self, c) -> "BandedMatrix":
+        return BandedMatrix(self.offsets, self.bands * c, self.shape)
+
+    def conjugate(self) -> "BandedMatrix":
+        return BandedMatrix(self.offsets, self.bands.conj(), self.shape)
+
+    conj = conjugate
+
+    @property
+    def T(self) -> "BandedMatrix":
+        # T[j, j - o] = A[j - o, j]: the band at offset -o, row-shifted
+        M, N = self.shape
+        offs = tuple(sorted(-o for o in self.offsets))
+        pos = {o: k for k, o in enumerate(self.offsets)}
+        rows = [_shift_fill(self.bands[pos[-o]], -o, N) for o in offs]
+        return BandedMatrix(offs, jnp.stack(rows), (N, M))
+
+    def inv(self) -> MatrixBase:
+        """Dense inverse — banded inverses are dense; only sensible for
+        small N (the factor path never calls this: tridiagonal systems
+        go through :func:`tridiag_cr_factor`)."""
+        if not self.is_square():
+            raise RuntimeError("Must be a square matrix!")
+        return DenseMatrix(inv_qr(self.asmatrix()))
+
+    def matvec(self, v):
+        v = _asarray(v)
+        M, N = self.shape
+        assert v.shape[0] == N, (self.shape, v.shape)
+        out = None
+        for k, o in enumerate(self.offsets):
+            lo = max(0, -o)
+            hi = min(M, N - o)
+            if hi <= lo:
+                continue
+            band = _match_precision(self.bands[k, lo:hi], v.dtype)
+            seg = band.reshape((hi - lo,) + (1,) * (v.ndim - 1)) \
+                * v[lo + o:hi + o]
+            pad = [(lo, M - hi)] + [(0, 0)] * (v.ndim - 1)
+            term = jnp.pad(seg, pad)
+            out = term if out is None else out + term
+        if out is None:
+            out = jnp.zeros((M,) + v.shape[1:], dtype=v.dtype)
+        return out
+
+    def effective_diagonal(self):
+        if not self.is_square():
+            return None
+        if self.offsets == (0,):
+            return self.bands[0]
+        # off-diagonal bands that are concretely zero don't spoil it
+        for k, o in enumerate(self.offsets):
+            if o == 0:
+                continue
+            cb = _concrete(self.bands[k])
+            if cb is None or np.any(np.asarray(cb)):
+                return None
+        return self.bands[self.offsets.index(0)]
+
+    def _matmul_banded(self, b: "BandedMatrix") -> "BandedMatrix":
+        """(A @ B) stays banded: C[i, i+oa+ob] += A[i, i+oa]·B[i+oa, ·].
+
+        Relies on the stored-zero invariant: out-of-range B entries are
+        zero, so boundary terms vanish without masking."""
+        M = self.shape[0]
+        terms: dict = {}
+        for ka, oa in enumerate(self.offsets):
+            for kb, ob in enumerate(b.offsets):
+                o = oa + ob
+                t = self.bands[ka] * _shift_fill(b.bands[kb], -oa, M)
+                terms[o] = t if o not in terms else terms[o] + t
+        offs = tuple(sorted(terms))
+        return BandedMatrix(offs, jnp.stack([terms[o] for o in offs]),
+                            (M, b.shape[1]))
+
+    def __str__(self) -> str:
+        return f"BandedMatrix(offsets={self.offsets}, shape={self.shape})"
+
+
+@jax.tree_util.register_pytree_node_class
+class TridiagFactor:
+    """Cyclic-reduction factorization of a tridiagonal system.
+
+    The TPU answer to "solve (alpha·A†A + mu·D†D + ...) x = b when the
+    operator is tridiagonal": a dense inverse would be O(N²) memory and
+    O(N³) refactor (the engine's path for dense quadratic blocks), and
+    the classic Thomas algorithm is a length-N sequential recurrence —
+    poison for a vector machine.  Cyclic reduction eliminates the odd
+    rows level by level: log2(N) levels, each a handful of full-width
+    elementwise multiplies + static strided slices (VPU code, no
+    data-dependent control flow), O(N) total work per solve and O(N)
+    factor state.  Stable without pivoting for the SPD systems the ADMM
+    factor path produces.  Unrolled over levels at trace time (N is
+    static), batched/vmapped transparently (all ops are elementwise on
+    the row axis).
+
+    Built by :func:`tridiag_cr_factor`; apply with ``factor @ rhs``
+    (the factor-protocol convention, ``_apply_B``).
+    """
+
+    def __init__(self, levels, d_final, n: int, sizes) -> None:
+        self.levels = tuple(levels)
+        self.d_final = d_final
+        self.n = int(n)
+        # pre-padding row count of each level (static): the backward
+        # pass trims each reconstructed level to it
+        self.sizes = tuple(int(m) for m in sizes)
+
+    def tree_flatten(self):
+        return (self.levels, self.d_final), (self.n, self.sizes)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.levels, obj.d_final = children
+        obj.n, obj.sizes = aux
+        return obj
+
+    def __matmul__(self, rhs):
+        return tridiag_cr_solve(self, rhs)
+
+
+def _cr_prev(x, fill=0.0):
+    """x shifted down one: out[j] = x[j-1], out[0] = fill."""
+    pad = [(1, 0)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x[:-1], pad, constant_values=fill)
+
+
+def _cr_next(x, fill=0.0):
+    """x shifted up one: out[j] = x[j+1], out[-1] = fill."""
+    pad = [(0, 1)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x[1:], pad, constant_values=fill)
+
+
+def _tridiag_cr_factor_impl(dl, d, du) -> TridiagFactor:
+    dl, d, du = _asarray(dl), _asarray(d), _asarray(du)
+    n = d.shape[0]
+    # mask the never-used corner entries so they can't pollute level 0
+    dl = dl.at[0].set(0.0) if n else dl
+    du = du.at[n - 1].set(0.0) if n else du
+    levels = []
+    sizes = []
+    while d.shape[0] > 1:
+        m = d.shape[0]
+        sizes.append(m)
+        if m % 2:
+            # decoupled identity padding row keeps every level even
+            one = jnp.ones(1, dtype=d.dtype)
+            zero = jnp.zeros(1, dtype=d.dtype)
+            d = jnp.concatenate([d, one])
+            dl = jnp.concatenate([dl, zero])
+            du = jnp.concatenate([du, zero])
+            m += 1
+        d_e, d_o = d[0::2], d[1::2]
+        dl_e, dl_o = dl[0::2], dl[1::2]
+        du_e, du_o = du[0::2], du[1::2]
+        alpha = dl_e / _cr_prev(d_o, fill=1.0)
+        beta = du_e / d_o
+        d_new = d_e - alpha * _cr_prev(du_o) - beta * dl_o
+        dl_new = -alpha * _cr_prev(dl_o)
+        du_new = -beta * du_o
+        levels.append((alpha, beta, dl_o, d_o, du_o))
+        dl, d, du = dl_new, d_new, du_new
+    return TridiagFactor(levels, d, n, sizes)
+
+
+def _tridiag_cr_solve_impl(factor: TridiagFactor, rhs):
+    rhs = _asarray(rhs)
+    assert rhs.shape[0] == factor.n, (rhs.shape, factor.n)
+    extra = (1,) * (rhs.ndim - 1)
+
+    b = rhs
+    b_odds = []
+    for alpha, beta, dl_o, d_o, du_o in factor.levels:
+        if b.shape[0] % 2:
+            pad = [(0, 1)] + [(0, 0)] * (b.ndim - 1)
+            b = jnp.pad(b, pad)
+        b_e, b_o = b[0::2], b[1::2]
+        b_odds.append(b_o)
+        r = lambda x: x.reshape(x.shape + extra) if x.ndim == 1 else x
+        b = b_e - r(alpha) * _cr_prev(b_o) - r(beta) * b_o
+
+    x = b / (factor.d_final.reshape(factor.d_final.shape + extra)
+             if factor.d_final.ndim == 1 else factor.d_final)
+    for (alpha, beta, dl_o, d_o, du_o), b_o, m_orig in zip(
+            reversed(factor.levels), reversed(b_odds),
+            reversed(factor.sizes)):
+        r = lambda x_: x_.reshape(x_.shape + extra) if x_.ndim == 1 else x_
+        # x of kept (even) rows is `x`; eliminated odd rows recover as
+        # x_o = (b_o - dl_o x_prev_even - du_o x_next_even) / d_o
+        x_o = (b_o - r(dl_o) * x - r(du_o) * _cr_next(x)) / r(d_o)
+        m2 = x.shape[0] + x_o.shape[0]
+        out = jnp.zeros((m2,) + x.shape[1:], dtype=x.dtype)
+        out = out.at[0::2].set(x)
+        out = out.at[1::2].set(x_o)
+        x = out[:m_orig]
+    return x
+
+
+# Public entry points run the cascade UNDER JIT even when called
+# eagerly: this build's XLA:CPU eager (op-by-op) path intermittently
+# corrupts the heap on the pad/strided-update sequence the cascade
+# emits (malloc/free aborts, reproduced round 4; the jitted program is
+# stable and is the only path the engine uses anyway).  Under an outer
+# jit/vmap the wrapper inlines.
+_tridiag_cr_factor_jit = jax.jit(_tridiag_cr_factor_impl)
+_tridiag_cr_solve_jit = jax.jit(_tridiag_cr_solve_impl)
+
+
+def tridiag_cr_factor(dl, d, du) -> TridiagFactor:
+    """Precompute the cyclic-reduction cascade for ``T x = b``.
+
+    ``dl[i] = T[i, i-1]`` (``dl[0]`` ignored/zero), ``d[i] = T[i, i]``,
+    ``du[i] = T[i, i+1]`` (``du[-1]`` ignored/zero); each ``(n,)``.
+    The cascade (per-level α, β and the eliminated rows' coefficients)
+    depends only on the matrix, so it is computed once per penalty
+    update; :func:`tridiag_cr_solve` then runs the O(N) forward/backward
+    passes per right-hand side.
+    """
+    return _tridiag_cr_factor_jit(_asarray(dl), _asarray(d), _asarray(du))
+
+
+def tridiag_cr_solve(factor: TridiagFactor, rhs):
+    """Solve with a precomputed :class:`TridiagFactor`.
+
+    ``rhs``: ``(n,)`` or ``(n, *trailing)`` (row axis first, matching
+    the matvec convention of this module)."""
+    return _tridiag_cr_solve_jit(factor, _asarray(rhs))
+
+
 def matmul(a: MatrixBase, b: MatrixBase) -> MatrixBase:
     """Structure-preserving a @ b (reference dispatch outcomes)."""
     assert a.shape[1] == b.shape[0], (a.shape, b.shape)
@@ -1051,7 +1396,25 @@ def matmul(a: MatrixBase, b: MatrixBase) -> MatrixBase:
                         DiagonalMatrix(jnp.asarray(blocks[:, 0])), _as_dense(b.matrix))
                     return PartialDiagonalMatrix(scaled, b.rest_dims)
             return DenseMatrix(a.matvec(b.asmatrix()))
+        if isinstance(b, BandedMatrix) and a.is_square():
+            # row scaling keeps bands
+            return BandedMatrix(b.offsets,
+                                b.bands * a.diagonals[None, :],
+                                b.shape)
         return DenseMatrix(a.matvec(b.asmatrix()))
+
+    if isinstance(a, BandedMatrix):
+        if isinstance(b, BandedMatrix):
+            return a._matmul_banded(b)
+        if isinstance(b, ScaledIdentityMatrix) and b.is_square():
+            return a._scale(b.coeff)
+        if isinstance(b, DiagonalMatrix) and b.is_square():
+            # column scaling: band at offset o picks up d[i + o]
+            M = a.shape[0]
+            rows = [a.bands[k] * _shift_fill(b.diagonals, -o, M)
+                    for k, o in enumerate(a.offsets)]
+            return BandedMatrix(a.offsets, jnp.stack(rows), a.shape)
+        return DenseMatrix(a.asmatrix() @ b.asmatrix())
 
     if isinstance(a, PartialDiagonalMatrix):
         if isinstance(b, PartialDiagonalMatrix) and a.rest_dims == b.rest_dims:
@@ -1125,6 +1488,33 @@ def add(a: MatrixBase, b: MatrixBase) -> MatrixBase:
             if x.rest_dims == y.rest_dims:
                 return PartialDiagonalMatrix(add(x.matrix, y.matrix), x.rest_dims)
             break
+        if isinstance(x, BandedMatrix) and isinstance(y, BandedMatrix):
+            offs = tuple(sorted(set(x.offsets) | set(y.offsets)))
+            px = {o: k for k, o in enumerate(x.offsets)}
+            py = {o: k for k, o in enumerate(y.offsets)}
+            M = x.shape[0]
+            z = jnp.zeros(M, dtype=jnp.result_type(x.bands.dtype,
+                                                   y.bands.dtype))
+            rows = [(x.bands[px[o]] if o in px else z)
+                    + (y.bands[py[o]] if o in py else z) for o in offs]
+            return BandedMatrix(offs, jnp.stack(rows), x.shape)
+        if isinstance(x, BandedMatrix) and x.is_square() and (
+                isinstance(y, ScaledIdentityMatrix)
+                or isinstance(y, DiagonalMatrix)):
+            dvec = (jnp.broadcast_to(_asarray(y.coeff), (x.shape[0],))
+                    if isinstance(y, ScaledIdentityMatrix)
+                    else y.diagonals)
+            if 0 in x.offsets:
+                k = x.offsets.index(0)
+                bands = x.bands.at[k].add(
+                    dvec.astype(x.bands.dtype)
+                    if dvec.dtype != x.bands.dtype else dvec)
+                return BandedMatrix(x.offsets, bands, x.shape)
+            offs = tuple(sorted(x.offsets + (0,)))
+            px = {o: k for k, o in enumerate(x.offsets)}
+            rows = [x.bands[px[o]] if o in px else
+                    dvec.astype(x.bands.dtype) for o in offs]
+            return BandedMatrix(offs, jnp.stack(rows), x.shape)
 
     return DenseMatrix(a.asmatrix() + b.asmatrix())
 

@@ -241,6 +241,57 @@ class FusedSpMSolver:
         cached[key] = jax.jit(self._build_run(niter, interval))
         return cached[key]
 
+    def _compiled_solve(self, niter: int, interval: int, B: int,
+                        has_y: bool):
+        """The WHOLE solve — batch padding, A†y, chunk schedule, and the
+        feature-major -> batch-major result trims — as one jitted call.
+
+        Motivation (benches/spm_boundary_probe.py, round 4): the
+        marginal compute of a 100-iteration chunk is 1.8-2.7 ms and the
+        factor/boundary work is ~free, yet the round-3 full 500-iter
+        solve cost ~50 ms — about 80% of every solve was per-call fixed
+        overhead: the ~25 ms dispatch (irreducible, lesson 9) plus a
+        separately-dispatched host A†y GEMM, padding ops, and SIX
+        result-trim slices.  Everything but the one dispatch and the
+        (B, M) input transfer now lives inside the program.
+        """
+        cached = getattr(self, "_run_cache", None)
+        if cached is None:
+            cached = self._run_cache = {}
+        key = ("solve", niter, interval, B, has_y)
+        if key in cached:
+            return cached[key]
+        run = self._build_run(niter, interval)
+        Bp = ((B + self.tile_b - 1) // self.tile_b) * self.tile_b
+        nl, nw = self.nl, self.nw
+        acy0 = None if has_y else jnp.asarray(
+            np.asarray(_concrete(self.f0._Acy), np.float32))
+
+        def full(data, alpha_ls, alpha1, mu0, tols, knobs, done0):
+            pad = lambda a: a if Bp == B else jnp.pad(
+                a, ((0, Bp - B),) + ((0, 0),) * (a.ndim - 1))
+            if has_y:
+                hi = jax.lax.Precision.HIGHEST
+                acy = jnp.dot(data, self.Ac.T, precision=hi)
+            else:
+                acy = jnp.broadcast_to(acy0, (B, nl))
+            acy = pad(acy)
+            al = pad(alpha_ls)
+            a1 = pad(alpha1)
+            d0 = done0 if Bp == B else jnp.concatenate(
+                [done0, jnp.ones(Bp - B, dtype=bool)])
+            mu0v = jnp.full((Bp, 2), mu0, jnp.float32)
+            state, pbuf, dbuf = run(acy, al, a1, mu0v, tols, knobs, d0)
+            x0, x1, x2, h10, h20, mu, done, count = state
+            trim = lambda a, f: a[:f, :B].T
+            return ((trim(x0, nl), trim(x1, nl), trim(x2, nw)),
+                    (trim(h10, nl), trim(h20, nw)),
+                    mu[:B], jnp.minimum(count[:B], niter), done[:B],
+                    pbuf.T[:B], dbuf.T[:B])
+
+        cached[key] = jax.jit(full)
+        return cached[key]
+
     def _build_run(self, niter: int, interval: int):
         """Full solve (iteration-0 chunk -> while_loop of full chunks ->
         remainder chunk) as ONE traceable function with early exit
@@ -330,33 +381,18 @@ class FusedSpMSolver:
             B = np.shape(v)[0]
         if B is None:
             raise ValueError("pass overrides or batch_size")
-        Bp = ((B + self.tile_b - 1) // self.tile_b) * self.tile_b
 
         def batched_scalar(key, default):
             if key in overrides:
-                a = jnp.asarray(overrides[key], dtype=jnp.float32)
-            else:
-                a = jnp.full((B,), float(default), dtype=jnp.float32)
-            if Bp != B:
-                a = jnp.concatenate(
-                    [a, jnp.broadcast_to(a[:1], (Bp - B,))])
-            return a
+                return jnp.asarray(overrides[key], dtype=jnp.float32)
+            return jnp.full((B,), float(default), dtype=jnp.float32)
 
         ys = overrides.get((0, "y"))
-        if ys is not None:
-            acy = jnp.asarray(np.asarray(ys, np.float32)
-                              @ np.asarray(self.Ac).T)
-        else:
-            acy = jnp.broadcast_to(
-                jnp.asarray(np.asarray(self.f0._Acy, np.float32)),
-                (B, self.nl))
-        if Bp != B:
-            acy = jnp.concatenate(
-                [acy, jnp.broadcast_to(acy[:1], (Bp - B, self.nl))])
+        has_y = ys is not None
+        data = (jnp.asarray(np.asarray(ys, np.float32)) if has_y
+                else jnp.zeros((B, 1), jnp.float32))
         alpha_ls = batched_scalar((0, "alpha"), float(self.f0._alpha))
         alpha1 = batched_scalar((1, "alpha"), float(self.f1._alpha))
-
-        mu0v = jnp.full((Bp, 2), float(mu0), jnp.float32)
         tols = (jnp.float32(rtol), jnp.float32(atol))
         knobs = (jnp.float32(fact_incr), jnp.float32(th_change),
                  jnp.float32(max_mu))
@@ -365,25 +401,14 @@ class FusedSpMSolver:
         else:
             d0 = jnp.asarray(done0, dtype=bool)
             assert d0.shape == (B,), d0.shape
-        if Bp != B:
-            # padding lanes start done: they never iterate
-            d0 = jnp.concatenate([d0, jnp.ones(Bp - B, dtype=bool)])
 
-        run = self._compiled_run(int(niter), int(interval_update_mu))
-        state, pbuf, dbuf = run(acy, alpha_ls, alpha1, mu0v, tols, knobs,
-                                d0)
-
-        x0, x1, x2, h10, h20, mu, done, count = state
-        trim_f = lambda a, f: a[:f, :B].T  # feature-major -> (B, f)
+        run = self._compiled_solve(int(niter), int(interval_update_mu),
+                                   B, has_y)
+        x, h, mu, count, done, pbuf, dbuf = run(
+            data, alpha_ls, alpha1, jnp.float32(mu0), tols, knobs, d0)
         return FusedSpMResult(
-            x=(trim_f(x0, self.nl), trim_f(x1, self.nl),
-               trim_f(x2, self.nw)),
-            h=(trim_f(h10, self.nl), trim_f(h20, self.nw)),
-            mu=mu[:B],
-            iterations=jnp.minimum(count[:B], niter),
-            converged=done[:B],
-            primal_residual=pbuf.T[:B],
-            dual_residual=dbuf.T[:B])
+            x=x, h=h, mu=mu, iterations=count, converged=done,
+            primal_residual=pbuf, dual_residual=dbuf)
 
     def solve_mixed(self,
                     overrides: Optional[Dict] = None,
@@ -475,16 +500,20 @@ class FusedSpMSolver:
             return a
 
         ys = overrides.get((0, "y"))
-        if ys is not None:
-            acy = jnp.asarray(np.asarray(ys, np.float32)
-                              @ np.asarray(self.Ac).T)
+        has_y = ys is not None
+        if has_y:
+            # A†y is computed INSIDE the composite (one MXU GEMM) — a
+            # host-side numpy matmul here would force a device->host
+            # round trip when ys is already device-resident.
+            data = jnp.asarray(ys).astype(jnp.float32)
         else:
-            acy = jnp.broadcast_to(
-                jnp.asarray(np.asarray(self.f0._Acy, np.float32)),
-                (B, self.nl))
+            data = jnp.broadcast_to(
+                jnp.asarray(np.asarray(_concrete(self.f0._Acy),
+                                       np.float32)), (B, self.nl))
         if Bp != B:
-            acy = jnp.concatenate(
-                [acy, jnp.broadcast_to(acy[:1], (Bp - B, self.nl))])
+            data = jnp.concatenate(
+                [data, jnp.broadcast_to(data[:1],
+                                        (Bp - B, data.shape[1]))])
         alpha_ls = batched_scalar((0, "alpha"), float(self.f0._alpha))
         alpha1 = batched_scalar((1, "alpha"), float(self.f1._alpha))
         mu0v = jnp.full((Bp, 2), float(mu0), jnp.float32)
@@ -515,7 +544,7 @@ class FusedSpMSolver:
         if cache is None:
             cache = self._mixed_cache = {}
         ckey = (int(niter_low), cfg, ov_keys, record, stride,
-                bool(chunked_checks), B)
+                bool(chunked_checks), B, has_y)
         run_all = cache.get(ckey)
         if run_all is None:
             run_lo = self._build_run(int(niter_low),
@@ -524,8 +553,13 @@ class FusedSpMSolver:
                                bool(chunked_checks), stride)
             nl, nw = self.nl, self.nw
 
-            def composite(acy, alpha_ls, alpha1, mu0v, tols_lo, knobs,
+            def composite(data, alpha_ls, alpha1, mu0v, tols_lo, knobs,
                           ov_vals, tols_hi, d0p):
+                if has_y:
+                    acy = jnp.dot(data, self.Ac.T,
+                                  precision=jax.lax.Precision.HIGHEST)
+                else:
+                    acy = data
                 state, _, _ = run_lo(acy, alpha_ls, alpha1, mu0v,
                                      tols_lo, knobs, d0p)
                 x0_, x1_, x2_, h10, h20, mu, done, count = state
@@ -542,7 +576,7 @@ class FusedSpMSolver:
 
             run_all = cache[ckey] = jax.jit(composite)
         xh, hh, muh, done, count, pbuf, dbuf = run_all(
-            acy, alpha_ls, alpha1, mu0v, tols_lo, knobs, ov_vals,
+            data, alpha_ls, alpha1, mu0v, tols_lo, knobs, ov_vals,
             (rtol, atol), d0p)
         return BatchResult(x=xh, h=hh, mu=muh, iterations=count,
                            converged=done, primal_residual=pbuf,

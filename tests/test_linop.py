@@ -687,3 +687,122 @@ class TestJacobiEigh:
                 out[i] = (v * np.maximum(w, 0.0)) @ v.conj().T
             want = np.moveaxis(out, 0, axis).ravel()
             np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
+
+
+class TestBandedMatrix:
+    """BandedMatrix algebra vs dense oracle (SURVEY idiom 2) and the
+    cyclic-reduction tridiagonal factor."""
+
+    def _fwd_diff(self, N):
+        D = np.zeros((N - 1, N))
+        i = np.arange(N - 1)
+        D[i, i] = -1.0
+        D[i, i + 1] = 1.0
+        return D
+
+    def test_roundtrip_matvec_transpose(self):
+        from admmsolver_tpu.ops.linop import BandedMatrix
+
+        rng = np.random.RandomState(0)
+        Dd = self._fwd_diff(11)
+        D = BandedMatrix.from_dense(Dd)
+        assert D.offsets == (0, 1)
+        np.testing.assert_allclose(np.asarray(D.asmatrix()), Dd)
+        v = rng.randn(11)
+        np.testing.assert_allclose(np.asarray(D @ v), Dd @ v, atol=1e-14)
+        h = rng.randn(10)
+        np.testing.assert_allclose(np.asarray(D.T @ h), Dd.T @ h,
+                                   atol=1e-14)
+        np.testing.assert_allclose(np.asarray(D.T.asmatrix()), Dd.T)
+        # trailing batch dims
+        vb = rng.randn(11, 3)
+        np.testing.assert_allclose(np.asarray(D @ vb), Dd @ vb,
+                                   atol=1e-14)
+
+    def test_band_algebra_matches_dense(self):
+        from admmsolver_tpu.ops.linop import (BandedMatrix,
+                                              DiagonalMatrix,
+                                              ScaledIdentityMatrix, add,
+                                              matmul)
+
+        rng = np.random.RandomState(1)
+        Dd = self._fwd_diff(9)
+        D = BandedMatrix.from_dense(Dd)
+        G = matmul(D.conjugate().T, D)
+        assert isinstance(G, BandedMatrix) and G.offsets == (-1, 0, 1)
+        Gd = Dd.T @ Dd
+        np.testing.assert_allclose(np.asarray(G.asmatrix()), Gd,
+                                   atol=1e-14)
+        # gram() through the dispatch
+        np.testing.assert_allclose(np.asarray(D.gram().asmatrix()), Gd,
+                                   atol=1e-14)
+        # scale + add SI / Diagonal stays banded
+        A2 = add(G * 0.7, ScaledIdentityMatrix(9, 0.5))
+        assert isinstance(A2, BandedMatrix)
+        np.testing.assert_allclose(np.asarray(A2.asmatrix()),
+                                   0.7 * Gd + 0.5 * np.eye(9),
+                                   atol=1e-14)
+        dvec = rng.rand(9) + 1.0
+        A3 = add(G, DiagonalMatrix(dvec))
+        assert isinstance(A3, BandedMatrix)
+        np.testing.assert_allclose(np.asarray(A3.asmatrix()),
+                                   Gd + np.diag(dvec), atol=1e-14)
+        # diagonal row/column scaling stays banded
+        np.testing.assert_allclose(
+            np.asarray(matmul(DiagonalMatrix(dvec), G).asmatrix()),
+            np.diag(dvec) @ Gd, atol=1e-14)
+        np.testing.assert_allclose(
+            np.asarray(matmul(G, DiagonalMatrix(dvec)).asmatrix()),
+            Gd @ np.diag(dvec), atol=1e-14)
+        # banded + banded with different offset sets stays banded
+        E = np.zeros((8, 9))
+        E[np.arange(8), np.arange(8)] = dvec[:8]        # offset 0 only
+        B2 = add(D * 2.0, BandedMatrix.from_dense(E))
+        assert isinstance(B2, BandedMatrix)
+        np.testing.assert_allclose(np.asarray(B2.asmatrix()),
+                                   2.0 * Dd + E, atol=1e-14)
+
+    def test_tridiag_cr_solve_matches_lapack(self):
+        from admmsolver_tpu.ops.linop import tridiag_cr_factor
+
+        rng = np.random.RandomState(2)
+        for n in (1, 2, 3, 5, 8, 33, 100, 257):
+            dl = np.r_[0.0, rng.randn(n - 1)] if n > 1 else np.zeros(1)
+            du = np.r_[rng.randn(n - 1), 0.0] if n > 1 else np.zeros(1)
+            d = np.abs(rng.randn(n)) + 2.0 + np.abs(dl) + np.abs(du)
+            T = np.diag(d)
+            if n > 1:
+                T += np.diag(dl[1:], -1) + np.diag(du[:-1], 1)
+            f = tridiag_cr_factor(dl, d, du)
+            b = rng.randn(n)
+            np.testing.assert_allclose(np.asarray(f @ jnp.asarray(b)),
+                                       np.linalg.solve(T, b),
+                                       atol=1e-10)
+            B = rng.randn(n, 4)
+            np.testing.assert_allclose(np.asarray(f @ jnp.asarray(B)),
+                                       np.linalg.solve(T, B),
+                                       atol=1e-10)
+
+    def test_tridiag_cr_vmapped(self):
+        import jax
+
+        from admmsolver_tpu.ops.linop import tridiag_cr_factor
+
+        rng = np.random.RandomState(3)
+        n, B = 37, 6
+        dls = np.zeros((B, n))
+        dls[:, 1:] = 0.3 * rng.randn(B, n - 1)
+        dus = np.zeros((B, n))
+        dus[:, :-1] = dls[:, 1:]
+        ds = np.abs(rng.randn(B, n)) + 2.0
+        bs = rng.randn(B, n)
+        out = jax.jit(jax.vmap(
+            lambda dl, d, du, b: tridiag_cr_factor(dl, d, du) @ b))(
+            jnp.asarray(dls), jnp.asarray(ds), jnp.asarray(dus),
+            jnp.asarray(bs))
+        for k in range(B):
+            T = np.diag(ds[k]) + np.diag(dls[k, 1:], -1) + \
+                np.diag(dus[k, :-1], 1)
+            np.testing.assert_allclose(np.asarray(out[k]),
+                                       np.linalg.solve(T, bs[k]),
+                                       atol=1e-10)
