@@ -781,7 +781,11 @@ class GroupL1Regularizer(ObjectiveFunctionBase):
         mug = jnp.reshape(mud, mud.shape[:-1] + (self._ng, self._gs))
         t = 0.5 * self._alpha / mug[..., 0]                  # (..., ng)
         nrm = jnp.sqrt(jnp.sum(vg * vg, axis=-1))            # (..., ng)
-        scale = jnp.maximum(1.0 - t / jnp.maximum(nrm, 1e-300), 0.0)
+        # group zeroed when nrm <= t; guard the division with a
+        # denominator representable in the TPU's f32-pair f64 emulation
+        # (a 1e-300 floor flushes to zero there -> inf intermediates)
+        scale = jnp.where(nrm > t, 1.0 - t / jnp.where(nrm > 0.0, nrm,
+                                                       1.0), 0.0)
         return jnp.reshape(vg * scale[..., None], v.shape)
 
 

@@ -201,8 +201,10 @@ def jacobi_eigh(a, sweeps: Optional[int] = None, sort: bool = True):
     symmetrize first if needed).  Returns ``(evals, evecs)`` with
     ``evals`` ascending per lane when ``sort=True`` (matching
     ``jnp.linalg.eigh``) and ``a ≈ evecs @ diag(evals) @ evecs.T``.
-    Intended for n ≤ 16 (the trace unrolls ``sweeps·(n−1)`` rounds);
-    larger blocks should use ``jnp.linalg.eigh``.  Replaces the
+    Dispatch: n ≤ 16 unrolls the schedule at trace time (this
+    function's body); 17 ≤ n ≤ 64 uses the scan-rolled schedule
+    (:func:`_jacobi_eigh_scan` — same per-round math, O(1) trace);
+    n > 64 raises (use ``jnp.linalg.eigh`` standalone).  Replaces the
     reference's per-slice ``np.linalg.eigh`` loop
     (``objectivefunc.py:320-327``) on the PSD prox path.
     """
@@ -433,8 +435,9 @@ def svd_via_gram(x, eigh_fn=None):
     ``~sqrt(eps)·s_max``; exactly the region the nuclear-norm
     soft-threshold (its only engine consumer,
     ``NuclearNormPenalty.prox_diag``) zeroes anyway.  Null-space columns
-    are regularized by dividing by ``max(s, tiny)`` — their contribution
-    is annihilated by the thresholded singular values.
+    divide by 1 instead of their ~0 singular value (emulation-safe, see
+    ``_safe_div``) — their contribution is annihilated by the
+    thresholded singular values.
     """
     if jnp.iscomplexobj(x):
         raise TypeError("svd_via_gram supports real input only")
@@ -444,24 +447,34 @@ def svd_via_gram(x, eigh_fn=None):
                    else jnp.linalg.eigh)
     hi = jax.lax.Precision.HIGHEST
     xt = x.swapaxes(-1, -2)
+    # Null-direction divisor: a fixed floor near finfo.tiny**0.5
+    # (~1.5e-154 in f64) UNDERFLOWS the TPU's f32-pair f64 emulation
+    # (f32 exponent range) and flushes to zero -> 0/0 = NaN on the very
+    # first ADMM iteration (x = 0 -> all-zero prox input; reproduced on
+    # hardware, round 4).  Instead, divide null directions by 1: their
+    # numerators are ~0 anyway and the thresholded singular values
+    # annihilate the columns.  eps-scaled cutoff stays well inside the
+    # emulation's representable range.
+    def _safe_div(num, s):
+        smax = jnp.max(s, axis=-1, keepdims=True)
+        cut = jnp.asarray(np.finfo(np.dtype(x.dtype)).eps,
+                          x.dtype) * jnp.maximum(smax, 1.0)
+        return num / jnp.where(s > cut, s, 1.0)[..., None, :]
+
     if n <= m:
         g = jnp.matmul(xt, x, precision=hi)              # (n, n)
         w, V = eigh_fn(g)                                # ascending
         w = w[..., ::-1]
         V = V[..., ::-1]
         s = jnp.sqrt(jnp.maximum(w, 0.0))
-        floor = jnp.finfo(x.dtype).tiny ** 0.5
-        U = jnp.matmul(x, V, precision=hi) / jnp.maximum(
-            s, floor)[..., None, :]
+        U = _safe_div(jnp.matmul(x, V, precision=hi), s)
         return U, s, V.swapaxes(-1, -2)
     g = jnp.matmul(x, xt, precision=hi)                  # (m, m)
     w, U = eigh_fn(g)
     w = w[..., ::-1]
     U = U[..., ::-1]
     s = jnp.sqrt(jnp.maximum(w, 0.0))
-    floor = jnp.finfo(x.dtype).tiny ** 0.5
-    Vh = jnp.matmul((U / jnp.maximum(s, floor)[..., None, :]).swapaxes(
-        -1, -2), x, precision=hi)
+    Vh = jnp.matmul(_safe_div(U, s).swapaxes(-1, -2), x, precision=hi)
     return U, s, Vh
 
 
