@@ -1,4 +1,6 @@
-from .grids import second_deriv_prj, smooth_regularizer_coeff, norm
+from .grids import (second_deriv_prj, smooth_regularizer_coeff,
+                    second_deriv_banded, smooth_regularizer_banded,
+                    norm)
 from .checkpoint import (
     save_state,
     load_state,

@@ -322,6 +322,22 @@ def bench_sdp32(dtype):
         finally:
             prox_mod.JACOBI_MAX_N = old
 
+    # The recommended SDP recipe (BENCH_NOTES lesson 12) at k=32: 3/4 of
+    # the budget in f32 — where the Jacobi-scan prox is 4.7x faster than
+    # XLA's in-loop eigh (lesson 15) — then an f64 polish.
+    nit_m = 4 * niter
+    model = sdp_model(A, y, shape, axis=2)
+    bs = BatchedSolver(model, dtype=dtype)
+    resm, dtm = _time_solve(lambda: bs.solve_mixed(
+        ov, niter_low=3 * nit_m // 4, niter=nit_m - 3 * nit_m // 4,
+        rtol=0.0, low_rtol=0.0, record_residuals=False), repeats=1)
+    Xm = np.asarray(resm.x[1], np.float64).reshape(B, *shape)
+    lam_min_m = np.linalg.eigvalsh(
+        np.moveaxis(Xm, (1, 2), (-2, -1))).min()
+    _emit("sdp_k32_mixed", B, nit_m, dtm,
+          {"min_eigenvalue_psd_block": round(float(lam_min_m), 9)},
+          ref_ips=ref)
+
 
 def bench_rpca(dtype):
     """Robust PCA (round-3 model family, first hardware row): batched

@@ -69,3 +69,31 @@ def test_timed_solve_emits_throughput():
     assert rec["iterations_total"] == 40
     assert rec["instance_iters_per_s"] > 0
     assert rec["seconds"] > 0
+
+
+def test_banded_stencils_match_dense():
+    """second_deriv_banded / smooth_regularizer_banded are value-
+    identical to the dense reference stencils (util.py:4-39) with O(N)
+    storage."""
+    from admmsolver_tpu.utils import (second_deriv_banded,
+                                      second_deriv_prj,
+                                      smooth_regularizer_banded,
+                                      smooth_regularizer_coeff)
+
+    x = np.cumsum(0.1 + np.random.RandomState(0).rand(40))
+    np.testing.assert_allclose(
+        np.asarray(second_deriv_banded(x).asmatrix()),
+        second_deriv_prj(x), atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(smooth_regularizer_banded(x).asmatrix()),
+        smooth_regularizer_coeff(x), atol=1e-13)
+    # the Gram stays banded (pentadiagonal), never dense
+    P = smooth_regularizer_banded(x)
+    G = P.gram()
+    from admmsolver_tpu.ops.linop import BandedMatrix
+
+    assert isinstance(G, BandedMatrix)
+    assert G.offsets == (-2, -1, 0, 1, 2)
+    Pd = smooth_regularizer_coeff(x)
+    np.testing.assert_allclose(np.asarray(G.asmatrix()), Pd.T @ Pd,
+                               atol=1e-12)
