@@ -30,7 +30,7 @@ from ..models.objectivefunc import (L1Regularizer, NonNegativePenalty,
 from ..models.realify import RealPartProx
 from ..models.problem import Model
 from ..ops.kernels import fused_two_block_chunk
-from ..ops.linop import ScaledIdentityMatrix
+from ..ops.linop import ScaledIdentityMatrix, _concrete
 
 __all__ = ["FusedTwoBlockSolver", "FusedResult"]
 
@@ -293,8 +293,12 @@ class FusedTwoBlockSolver:
         f0 = self.f0
         ys = overrides.get((0, "y"))
         if ys is not None:
-            Ac = np.asarray(f0._Ac.asmatrix())
-            acy = jnp.asarray(np.asarray(ys) @ Ac.T, dtype=jnp.float32)
+            # on-device GEMM: ys may already be device-resident (a numpy
+            # round trip would pull it back through the tunnel)
+            Ac = jnp.asarray(np.asarray(_concrete(f0._Ac.asmatrix()),
+                                        np.float32))
+            acy = jnp.matmul(jnp.asarray(ys).astype(jnp.float32), Ac.T,
+                             precision=jax.lax.Precision.HIGHEST)
             if Bp != B:
                 acy = jnp.concatenate(
                     [acy, jnp.broadcast_to(acy[:1], (Bp - B, self.N))])
