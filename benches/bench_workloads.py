@@ -369,6 +369,21 @@ def bench_rpca(dtype):
           {"max_rel_err_L": round(float(rel), 4),
            "median_effective_rank": rank, "ref": "inexpressible"})
 
+    # Mixed recipe: the f32 Gram-SVD prox is ~7x cheaper than f64
+    # (svd_tpu_probe: 3.94 vs 27.8 ms/iter in-loop) — the lesson-12
+    # "mixed pays on prox-heavy workloads" profile.
+    nit_m = 2 * niter
+    resm, dtm = _time_solve(lambda: bs.solve_mixed(
+        ov, niter_low=3 * nit_m // 4, niter=nit_m - 3 * nit_m // 4,
+        rtol=0.0, low_rtol=0.0, record_residuals=False), repeats=1)
+    Lm = np.asarray(resm.x[0], np.float64).reshape(B, m, n)
+    relm = np.abs(Lm - L0).max() / np.abs(L0).max()
+    svm = np.linalg.svd(Lm, compute_uv=False)
+    rankm = int(np.median((svm > 1e-3 * svm[:, :1]).sum(axis=1)))
+    _emit("rpca_nuclear_mixed", B, nit_m, dtm,
+          {"max_rel_err_L": round(float(relm), 4),
+           "median_effective_rank": rankm, "ref": "inexpressible"})
+
 
 def bench_group_lasso(dtype):
     """Group lasso (round-3 model family, first hardware row): block-
