@@ -88,6 +88,7 @@ def _parse_record_residuals(record_residuals) -> Tuple[bool, int]:
     return True, stride
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BatchResult:
     """Converged batch state.

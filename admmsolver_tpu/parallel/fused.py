@@ -35,6 +35,7 @@ from ..ops.linop import ScaledIdentityMatrix, _concrete
 __all__ = ["FusedTwoBlockSolver", "FusedResult"]
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class FusedResult:
     x0: jnp.ndarray

@@ -45,6 +45,7 @@ def _pad8(n: int) -> int:
     return max(8, ((n + 7) // 8) * 8)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class FusedSpMResult:
     """Batch-major converged state (x: tuple of (B, n_k))."""
