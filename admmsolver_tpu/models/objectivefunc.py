@@ -896,19 +896,21 @@ class NuclearNormPenalty(ObjectiveFunctionBase):
         """Backend-aware thin SVD.
 
         ``auto``: XLA's SVD where it is exact and loop-friendly (CPU);
-        on TPU, real matrices with min(m, n) <= 64 use the Gram-eigh
-        route (:func:`~admmsolver_tpu.ops.linop.svd_via_gram`) — the
-        axon backend's SVD inside a vmapped solver loop is the same
-        pathology class as its eigh (``benches/svd_tpu_probe.py``), and
-        the Gram route is two MXU GEMMs plus the loop-body-safe Jacobi
-        eigendecomposition.  Its ~sqrt(eps)·s_max floor on small
-        singular values sits exactly in the soft-threshold's dead zone.
+        on TPU, every real matrix uses the Gram-eigh route
+        (:func:`~admmsolver_tpu.ops.linop.svd_via_gram`) — the axon
+        backend's SVD is pathological in BOTH dtypes (f32 SIGABRTs the
+        compiler, f64 is NaN-fragile and ~10x slower in-loop,
+        ``benches/svd_tpu_probe.py``), and the Gram route is two MXU
+        GEMMs plus an eigendecomposition (loop-body-safe Jacobi up to
+        the :data:`~admmsolver_tpu.ops.prox.JACOBI_MAX_N` envelope,
+        ``jnp.linalg.eigh`` above it).  Its ~sqrt(eps)·s_max floor on
+        small singular values sits exactly in the soft-threshold's
+        dead zone.
         """
         method = self._svd_method
         if method == "auto":
             method = ("gram" if (jax.default_backend() == "tpu"
-                                 and not jnp.iscomplexobj(X)
-                                 and min(self._mn) <= 64)
+                                 and not jnp.iscomplexobj(X))
                       else "xla")
         if method == "gram":
             from ..ops.linop import svd_via_gram

@@ -1276,6 +1276,11 @@ def _tridiag_cr_factor_impl(dl, d, du) -> TridiagFactor:
 def _tridiag_cr_solve_impl(factor: TridiagFactor, rhs):
     rhs = _asarray(rhs)
     assert rhs.shape[0] == factor.n, (rhs.shape, factor.n)
+    # Precision follows the state dtype (CLAUDE.md invariant): f64-stored
+    # bands (e.g. D†D built from numpy f64) must not promote an
+    # f32-phase rhs to emulated f64.  Constant-folded by XLA.
+    factor = jax.tree_util.tree_map(
+        lambda a: _match_precision(a, rhs.dtype), factor)
     extra = (1,) * (rhs.ndim - 1)
 
     b = rhs
@@ -1521,16 +1526,18 @@ def add(a: MatrixBase, b: MatrixBase) -> MatrixBase:
             dvec = (jnp.broadcast_to(_asarray(y.coeff), (x.shape[0],))
                     if isinstance(y, ScaledIdentityMatrix)
                     else y.diagonals)
+            # Promote like the dense fallback (result_type), never
+            # downcast the diagonal to the band dtype.
+            rdt = jnp.result_type(x.bands.dtype, dvec.dtype)
+            bands0 = x.bands.astype(rdt)
+            dvec = dvec.astype(rdt)
             if 0 in x.offsets:
                 k = x.offsets.index(0)
-                bands = x.bands.at[k].add(
-                    dvec.astype(x.bands.dtype)
-                    if dvec.dtype != x.bands.dtype else dvec)
+                bands = bands0.at[k].add(dvec)
                 return BandedMatrix(x.offsets, bands, x.shape)
             offs = tuple(sorted(x.offsets + (0,)))
             px = {o: k for k, o in enumerate(x.offsets)}
-            rows = [x.bands[px[o]] if o in px else
-                    dvec.astype(x.bands.dtype) for o in offs]
+            rows = [bands0[px[o]] if o in px else dvec for o in offs]
             return BandedMatrix(offs, jnp.stack(rows), x.shape)
 
     return DenseMatrix(a.asmatrix() + b.asmatrix())

@@ -53,6 +53,40 @@ def _is_identity_si(E) -> bool:
             and np.allclose(np.asarray(E.coeff), 1.0))
 
 
+# The per-instance fields the fused kernels actually plumb.  Anything
+# else (e.g. the engine's per-instance ``(0, 'A')`` operators or L1
+# ``offset``s) would silently solve the TEMPLATE problem and return
+# wrong results flagged converged — reject it up front.
+_FUSED_OV_KEYS = frozenset({(0, "y"), (0, "alpha"), (1, "alpha")})
+
+
+def _check_fused_overrides(overrides, path: str) -> int:
+    """Validate fused-path override keys and return the batch size.
+
+    Mirrors ``BatchedSolver._validate_overrides``'s batch-axis checks but
+    against the fused kernels' supported set; returns None for empty
+    overrides (caller falls back to ``batch_size``)."""
+    bad = sorted(set(overrides) - _FUSED_OV_KEYS, key=repr)
+    if bad:
+        raise ValueError(
+            f"{path} supports per-instance overrides "
+            f"{sorted(_FUSED_OV_KEYS)} only, got {bad}; use "
+            "BatchedSolver for other per-instance fields")
+    B = None
+    for key, v in overrides.items():
+        if np.ndim(v) < 1:
+            raise ValueError(
+                f"override {key} must have a leading batch axis, got a "
+                "scalar; wrap per-instance scalars as a (B,) array")
+        b = np.shape(v)[0]
+        if B is None:
+            B = b
+        elif B != b:
+            raise ValueError(
+                f"inconsistent batch sizes: {B} vs {b} for override {key}")
+    return B
+
+
 class FusedTwoBlockSolver:
     """VMEM-resident fused solver for the flagship 2-block family."""
 
@@ -271,9 +305,9 @@ class FusedTwoBlockSolver:
         ``done0``: (B,) bool mask of lanes that start converged (never
         iterate) — the scheduler convention BatchedSolver.solve uses."""
         overrides = dict(overrides or {})
-        B = batch_size
-        for v in overrides.values():
-            B = np.shape(v)[0]
+        B = _check_fused_overrides(overrides, "FusedTwoBlockSolver")
+        if B is None:
+            B = batch_size
         if B is None:
             raise ValueError("pass overrides or batch_size")
 

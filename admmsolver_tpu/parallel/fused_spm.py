@@ -36,7 +36,7 @@ from ..models.objectivefunc import (ConstrainedLeastSquares, L1Regularizer,
 from ..models.problem import Model
 from ..ops.kernels import fused_spm_chunk
 from ..ops.linop import ScaledIdentityMatrix, _concrete, inv_hpd_schur
-from .fused import _is_identity_si
+from .fused import _check_fused_overrides, _is_identity_si
 
 __all__ = ["FusedSpMSolver", "FusedSpMResult"]
 
@@ -242,10 +242,11 @@ class FusedSpMSolver:
         cached[key] = jax.jit(self._build_run(niter, interval))
         return cached[key]
 
-    def _compiled_solve(self, niter: int, interval: int, B: int,
+    def _compiled_solve(self, niter: int, interval: int, Bp: int,
                         has_y: bool):
-        """The WHOLE solve — batch padding, A†y, chunk schedule, and the
-        feature-major -> batch-major result trims — as one jitted call.
+        """The WHOLE solve — A†y, chunk schedule, and the feature-major
+        -> batch-major result layout — as one jitted call on a
+        tile-PADDED batch.
 
         Motivation (benches/spm_boundary_probe.py, round 4): the
         marginal compute of a 100-iteration chunk is 1.8-2.7 ms and the
@@ -254,43 +255,65 @@ class FusedSpMSolver:
         overhead: the ~25 ms dispatch (irreducible, lesson 9) plus a
         separately-dispatched host A†y GEMM, padding ops, and SIX
         result-trim slices.  Everything but the one dispatch and the
-        (B, M) input transfer now lives inside the program.
+        (B, M) input transfer lives inside the program.
+
+        Keyed on the tile-padded ``Bp``, NOT the raw batch size: every
+        distinct B used to trigger a full recompile (minutes per
+        signature through the axon tunnel, CLAUDE.md); the cheap B<->Bp
+        pad/trim steps run as tiny separate programs, and only when
+        B != Bp (:meth:`_pad_trim`).
         """
         cached = getattr(self, "_run_cache", None)
         if cached is None:
             cached = self._run_cache = {}
-        key = ("solve", niter, interval, B, has_y)
+        key = ("solve", niter, interval, Bp, has_y)
         if key in cached:
             return cached[key]
         run = self._build_run(niter, interval)
-        Bp = ((B + self.tile_b - 1) // self.tile_b) * self.tile_b
         nl, nw = self.nl, self.nw
         acy0 = None if has_y else jnp.asarray(
             np.asarray(_concrete(self.f0._Acy), np.float32))
 
         def full(data, alpha_ls, alpha1, mu0, tols, knobs, done0):
-            pad = lambda a: a if Bp == B else jnp.pad(
-                a, ((0, Bp - B),) + ((0, 0),) * (a.ndim - 1))
             if has_y:
                 hi = jax.lax.Precision.HIGHEST
                 acy = jnp.dot(data, self.Ac.T, precision=hi)
             else:
-                acy = jnp.broadcast_to(acy0, (B, nl))
-            acy = pad(acy)
-            al = pad(alpha_ls)
-            a1 = pad(alpha1)
-            d0 = done0 if Bp == B else jnp.concatenate(
-                [done0, jnp.ones(Bp - B, dtype=bool)])
+                acy = jnp.broadcast_to(acy0, (Bp, nl))
             mu0v = jnp.full((Bp, 2), mu0, jnp.float32)
-            state, pbuf, dbuf = run(acy, al, a1, mu0v, tols, knobs, d0)
+            state, pbuf, dbuf = run(acy, alpha_ls, alpha1, mu0v, tols,
+                                    knobs, done0)
             x0, x1, x2, h10, h20, mu, done, count = state
-            trim = lambda a, f: a[:f, :B].T
+            trim = lambda a, f: a[:f].T
             return ((trim(x0, nl), trim(x1, nl), trim(x2, nw)),
                     (trim(h10, nl), trim(h20, nw)),
-                    mu[:B], jnp.minimum(count[:B], niter), done[:B],
-                    pbuf.T[:B], dbuf.T[:B])
+                    mu, jnp.minimum(count, niter), done,
+                    pbuf.T, dbuf.T)
 
         cached[key] = jax.jit(full)
+        return cached[key]
+
+    def _pad_trim(self, B: int, Bp: int):
+        """Tiny jitted B->Bp input pad and Bp->B output trim programs
+        (one extra dispatch each; only used when B != Bp).  Padding
+        lanes start ``done`` and never iterate."""
+        cached = getattr(self, "_run_cache", None)
+        if cached is None:
+            cached = self._run_cache = {}
+        key = ("padtrim", B, Bp)
+        if key in cached:
+            return cached[key]
+
+        def pad(data, alpha_ls, alpha1, d0):
+            padb = lambda a: jnp.pad(
+                a, ((0, Bp - B),) + ((0, 0),) * (a.ndim - 1))
+            d0p = jnp.concatenate([d0, jnp.ones(Bp - B, dtype=bool)])
+            return padb(data), padb(alpha_ls), padb(alpha1), d0p
+
+        def trim(out):
+            return jax.tree_util.tree_map(lambda a: a[:B], out)
+
+        cached[key] = (jax.jit(pad), jax.jit(trim))
         return cached[key]
 
     def _build_run(self, niter: int, interval: int):
@@ -377,9 +400,9 @@ class FusedSpMSolver:
         (B,) bool mask of lanes that start converged (scheduler
         convention, as in BatchedSolver.solve)."""
         overrides = dict(overrides or {})
-        B = batch_size
-        for v in overrides.values():
-            B = np.shape(v)[0]
+        B = _check_fused_overrides(overrides, "FusedSpMSolver")
+        if B is None:
+            B = batch_size
         if B is None:
             raise ValueError("pass overrides or batch_size")
 
@@ -390,7 +413,10 @@ class FusedSpMSolver:
 
         ys = overrides.get((0, "y"))
         has_y = ys is not None
-        data = (jnp.asarray(np.asarray(ys, np.float32)) if has_y
+        # device-side cast: ys may already be device-resident (a numpy
+        # round trip would pull it back through the tunnel, ~10 ms at
+        # the BASELINE SpM scale — same rule as _solve_mixed_fused)
+        data = (jnp.asarray(ys).astype(jnp.float32) if has_y
                 else jnp.zeros((B, 1), jnp.float32))
         alpha_ls = batched_scalar((0, "alpha"), float(self.f0._alpha))
         alpha1 = batched_scalar((1, "alpha"), float(self.f1._alpha))
@@ -403,10 +429,17 @@ class FusedSpMSolver:
             d0 = jnp.asarray(done0, dtype=bool)
             assert d0.shape == (B,), d0.shape
 
+        Bp = ((B + self.tile_b - 1) // self.tile_b) * self.tile_b
         run = self._compiled_solve(int(niter), int(interval_update_mu),
-                                   B, has_y)
-        x, h, mu, count, done, pbuf, dbuf = run(
+                                   Bp, has_y)
+        if Bp != B:
+            pad, trim = self._pad_trim(B, Bp)
+            data, alpha_ls, alpha1, d0 = pad(data, alpha_ls, alpha1, d0)
+        out = run(
             data, alpha_ls, alpha1, jnp.float32(mu0), tols, knobs, d0)
+        if Bp != B:
+            out = trim(out)
+        x, h, mu, count, done, pbuf, dbuf = out
         return FusedSpMResult(
             x=x, h=h, mu=mu, iterations=count, converged=done,
             primal_residual=pbuf, dual_residual=dbuf)
@@ -481,10 +514,11 @@ class FusedSpMSolver:
                             _parse_record_residuals)
 
         overrides = dict(overrides or {})
-        # Same field/shape discipline as the engine path: unknown fields,
-        # scalar overrides, and cross-field batch mismatches all raise
-        # here instead of failing downstream.
-        B = bs._validate_overrides(overrides)
+        # The kernel phase only plumbs the fused-supported fields; an
+        # engine-legal override like (0, 'A') would make the f32 phase
+        # solve the TEMPLATE problem and warm-start the polish from the
+        # wrong trajectory — reject it, mirroring FusedSpMSolver.solve.
+        B = _check_fused_overrides(overrides, "FusedSpMSolver.solve_mixed")
         if B is None:
             raise ValueError("pass overrides with a leading batch axis")
         Bp = ((B + self.tile_b - 1) // self.tile_b) * self.tile_b

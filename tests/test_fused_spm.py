@@ -156,3 +156,48 @@ def test_fused_spm_mixed_one_jit_matches_two_dispatch(spm_setup):
     np.testing.assert_allclose(np.asarray(one.mu), np.asarray(two.mu),
                                rtol=1e-12)
     assert one.x[0].dtype == jnp.float64
+
+
+def test_fused_spm_rejects_unsupported_overrides(spm_setup):
+    """Engine-legal override keys the kernel does not plumb (e.g. a
+    per-instance operator) must raise, not silently solve the template
+    problem (round-4 advisor, fused_spm.py)."""
+    model, gs = spm_setup
+    fs = FusedSpMSolver(model, tile_b=2)
+    B = gs.shape[0]
+    nl = model.functions[0].size_x
+    bad = {(0, "y"): gs, (0, "A"): np.zeros((B, gs.shape[1], nl))}
+    with pytest.raises(ValueError, match="supports per-instance"):
+        fs.solve(bad, niter=5)
+    with pytest.raises(ValueError, match="supports per-instance"):
+        fs.solve_mixed(bad, niter_low=5, niter=5)
+    with pytest.raises(ValueError, match="supports per-instance"):
+        fs.solve_mixed(bad, niter_low=5, niter=5, fused=False)
+    # scalar override (no batch axis) also rejected
+    with pytest.raises(ValueError, match="leading batch axis"):
+        fs.solve({(1, "alpha"): 0.1}, batch_size=B, niter=5)
+
+
+def test_fused_spm_nontile_batch_pad_trim(spm_setup):
+    """B not a tile multiple goes through the pad/trim programs (the
+    main program is keyed on the padded Bp) and matches the aligned
+    run lane-for-lane."""
+    model, gs = spm_setup
+    fs = FusedSpMSolver(model, tile_b=4)     # B=6 -> Bp=8
+    r = fs.solve({(0, "y"): gs}, niter=40, mu0=0.1)
+    fs2 = FusedSpMSolver(model, tile_b=2)    # B=6 == Bp
+    r2 = fs2.solve({(0, "y"): gs}, niter=40, mu0=0.1)
+    for k in range(3):
+        assert np.asarray(r.x[k]).shape[0] == gs.shape[0]
+        np.testing.assert_allclose(np.asarray(r.x[k]),
+                                   np.asarray(r2.x[k]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(r.iterations),
+                                  np.asarray(r2.iterations))
+    # and the program cache is keyed on Bp: a second, different raw B
+    # with the same padded size must NOT create a new main program
+    n_main = sum(1 for k in fs._run_cache if k[0] == "solve")
+    gs5 = gs[:5]
+    r5 = fs.solve({(0, "y"): gs5}, niter=40, mu0=0.1)
+    assert sum(1 for k in fs._run_cache if k[0] == "solve") == n_main
+    np.testing.assert_allclose(np.asarray(r5.x[0]),
+                               np.asarray(r2.x[0])[:5], atol=1e-6)

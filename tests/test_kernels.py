@@ -173,3 +173,18 @@ def test_fused_realified_complex():
     for b in range(B):
         got = np.asarray(decode(rf.x0[b]))
         assert np.abs(got - xt[b]).max() <= 5e-2 * np.abs(xt[b]).max()
+
+
+def test_fused_two_block_rejects_unsupported_overrides():
+    """Per-instance fields the kernel does not plumb must raise (round-4
+    advisor): a (0,'A') override would silently solve the template."""
+    A, ys, _ = _setup()
+    B, N = ys.shape[0], A.shape[1]
+    model = Model([LeastSquares(1.0, A, ys[0]), L1Regularizer(0.1, N)],
+                  [(1, 0, identity(N), identity(N))])
+    fs = FusedTwoBlockSolver(model, tile_b=2)
+    with pytest.raises(ValueError, match="supports per-instance"):
+        fs.solve({(0, "y"): ys,
+                  (0, "A"): np.zeros((B,) + A.shape)}, niter=5)
+    with pytest.raises(ValueError, match="leading batch axis"):
+        fs.solve({(1, "alpha"): 0.1}, batch_size=B, niter=5)

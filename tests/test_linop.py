@@ -806,3 +806,50 @@ class TestBandedMatrix:
             np.testing.assert_allclose(np.asarray(out[k]),
                                        np.linalg.solve(T, bs[k]),
                                        atol=1e-10)
+
+
+class TestPrecisionFollowsState:
+    """Round-4 advisor regressions: factor/operator application must
+    follow the rhs (state) dtype — f64-stored values must not promote an
+    f32 phase (CLAUDE.md invariant)."""
+
+    def test_tridiag_solve_matches_rhs_dtype(self):
+        import jax.numpy as jnp
+        from admmsolver_tpu.ops.linop import tridiag_cr_factor
+
+        n = 17
+        rng = np.random.RandomState(3)
+        d = 4.0 + rng.rand(n)          # numpy f64 bands
+        dl = -rng.rand(n)
+        du = -rng.rand(n)
+        fac = tridiag_cr_factor(dl, d, du)
+        rhs32 = jnp.asarray(rng.randn(n), jnp.float32)
+        out = fac @ rhs32
+        assert out.dtype == jnp.float32, out.dtype
+        # and f64 rhs still gets the full-precision solve
+        rhs64 = jnp.asarray(rng.randn(n), jnp.float64)
+        assert (fac @ rhs64).dtype == jnp.float64
+
+    def test_banded_plus_diagonal_promotes(self):
+        import jax.numpy as jnp
+        from admmsolver_tpu.ops.linop import (BandedMatrix,
+                                              DiagonalMatrix, add)
+
+        n = 8
+        rng = np.random.RandomState(4)
+        Dd = np.zeros((n, n), np.float32)
+        Dd[np.arange(n), np.arange(n)] = rng.rand(n).astype(np.float32)
+        Dd[np.arange(n - 1), np.arange(1, n)] = 1.0
+        Bm = BandedMatrix.from_dense(jnp.asarray(Dd))
+        dv = jnp.asarray(rng.rand(n), jnp.float64)
+        out = add(Bm, DiagonalMatrix(dv))
+        assert isinstance(out, BandedMatrix)
+        assert out.bands.dtype == jnp.float64
+        np.testing.assert_allclose(
+            np.asarray(out.asmatrix()),
+            Dd.astype(np.float64) + np.diag(np.asarray(dv)), rtol=1e-6)
+        # missing-diagonal case (no 0 offset) promotes too
+        off = BandedMatrix((1,), Bm.bands[1:2].astype(jnp.float32),
+                           (n, n))
+        out2 = add(off, DiagonalMatrix(dv))
+        assert out2.bands.dtype == jnp.float64
