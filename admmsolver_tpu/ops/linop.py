@@ -218,12 +218,12 @@ def jacobi_eigh(a, sweeps: Optional[int] = None, sort: bool = True):
     if n > 16:
         # Larger blocks use the scan-rolled schedule: identical per-round
         # math, O(1) trace size (the unrolled trace below would be
-        # sweeps·(n−1) rounds).  Beyond 64, standalone jnp.linalg.eigh
+        # sweeps·(n−1) rounds).  Beyond 256, standalone jnp.linalg.eigh
         # is the right tool.
-        if n <= 64:
+        if n <= 256:
             return _jacobi_eigh_scan(a, sweeps=sweeps, sort=sort)
-        raise ValueError(f"jacobi_eigh is limited to n <= 64, got n={n}; "
-                         "use jnp.linalg.eigh")
+        raise ValueError(f"jacobi_eigh is limited to n <= 256, got n={n};"
+                         " use jnp.linalg.eigh")
     if n == 1:
         w = a[..., 0]
         v = jnp.ones_like(a)
@@ -317,7 +317,7 @@ def jacobi_eigh(a, sweeps: Optional[int] = None, sort: bool = True):
 
 
 def _jacobi_eigh_scan(a, sweeps: Optional[int] = None, sort: bool = True):
-    """Scan-rolled parallel-order Jacobi for 16 < n <= 64.
+    """Scan-rolled parallel-order Jacobi for 16 < n <= 256.
 
     Same per-round math as the unrolled :func:`jacobi_eigh` (n/2 disjoint
     Givens rotations on contiguous position pairs, full-width elementwise
@@ -350,13 +350,18 @@ def _jacobi_eigh_scan(a, sweeps: Optional[int] = None, sort: bool = True):
         n += 1
     if sweeps is None:
         # Quadratic convergence: measured reconstruction error vs sweeps
-        # on random symmetric batches (round 4) — f32 converges to its
-        # eps by 6-7 sweeps and f64 by 8 at n = 32..64; defaults carry
-        # +1-2 margin (validated to ~n·eps in tests/test_linop.py).
-        # Sweep count is the scan path's whole cost, so this is a direct
-        # 1.3-1.75x on the in-loop prox.
+        # on random symmetric batches (rounds 4-5) — f32 converges to
+        # its eps by 6-8 sweeps at n = 32..256; f64 by 8 at n <= 64, 9
+        # at n <= 128, 10 at n <= 256; defaults carry +1 margin
+        # (validated to ~n·eps in tests/test_linop.py).  Sweep count is
+        # the scan path's whole cost, so this is a direct lever on the
+        # in-loop prox.
         f32 = jnp.finfo(a.dtype).bits <= 32
-        sweeps = 8 if f32 else (9 if n <= 32 else 10)
+        if f32:
+            sweeps = 8 if n <= 64 else 9
+        else:
+            sweeps = (9 if n <= 32 else
+                      10 if n <= 128 else 11)
     m = n // 2
 
     # Round-0 paired layout and the fixed inter-round permutation.
@@ -447,7 +452,7 @@ def svd_via_gram(x, eigh_fn=None):
         raise TypeError("svd_via_gram supports real input only")
     m, n = x.shape[-2], x.shape[-1]
     if eigh_fn is None:
-        eigh_fn = (jacobi_eigh if min(m, n) <= 64
+        eigh_fn = (jacobi_eigh if min(m, n) <= 256
                    else jnp.linalg.eigh)
     hi = jax.lax.Precision.HIGHEST
     xt = x.swapaxes(-1, -2)

@@ -53,26 +53,29 @@ def psd_project(x, shape, axis):
 
 # Jacobi-vs-XLA-eigh dispatch ceiling for the real PSD projection.
 # Module-level so hardware A/B benches (benches/sdp_k32_ab.py) can force
-# either path; 64 is the validated envelope of the scan-rolled Jacobi.
-JACOBI_MAX_N = 64
+# either path; 256 is the validated envelope of the scan-rolled Jacobi
+# (round 5 — sweep-convergence measured to n = 256 in both dtypes,
+# hardware-validated at n = 128; the reference handles arbitrary slice
+# sizes via its per-slice Python loop, objectivefunc.py:322-327).
+JACOBI_MAX_N = 256
 
 
 def _psd_project_herm(herm):
     """PSD projection of exactly-Hermitian slices ``(K, n, n)``.
 
-    Real n <= 64: the loop-body-safe Jacobi eigendecomposition (unrolled
-    for n <= 16, scan-rolled above — XLA's eigh degrades ~1000x when
-    traced inside a vmapped solver loop body, benches/sdp_ablate2.py).
-    Complex Hermitian n <= 32: the realify embedding ``H = X + iY ->
-    R = [[X, -Y], [Y, X]]`` — a *-isomorphism, so spectral functions
-    commute with it: project the real symmetric 2n x 2n embedding with
-    the same Jacobi path and map back.  All-real arithmetic (the TPU
-    backend has no complex support, CLAUDE.md) and slice sizes up to
-    2n = 64.  Anything larger: batched ``jnp.linalg.eigh``.
+    Real n <= JACOBI_MAX_N: the loop-body-safe Jacobi
+    eigendecomposition (unrolled for n <= 16, scan-rolled above — XLA's
+    eigh degrades ~1000x when traced inside a vmapped solver loop body,
+    benches/sdp_ablate2.py).  Complex Hermitian n <= JACOBI_MAX_N/2:
+    the realify embedding ``H = X + iY -> R = [[X, -Y], [Y, X]]`` — a
+    *-isomorphism, so spectral functions commute with it: project the
+    real symmetric 2n x 2n embedding with the same Jacobi path and map
+    back.  All-real arithmetic (the TPU backend has no complex support,
+    CLAUDE.md).  Anything larger: batched ``jnp.linalg.eigh``.
     """
     n = herm.shape[-1]
     if jnp.iscomplexobj(herm):
-        if n <= 32:
+        if n <= JACOBI_MAX_N // 2:
             X, Y = jnp.real(herm), jnp.imag(herm)
             top = jnp.concatenate([X, -Y], axis=-1)
             bot = jnp.concatenate([Y, X], axis=-1)
@@ -100,9 +103,9 @@ def _psd_project_herm(herm):
             return jnp.sum(
                 scaled[..., :, None, :] * evecs[..., None, :, :],
                 axis=-1)                                    # (K, i, l)
-        # n = 17..64: the (K,n,n,n) elementwise intermediate no longer
-        # fits comfortably (n=64, K=4096, f64 -> 8 GB); a batched GEMM
-        # at this size is substantial enough for the MXU.
+        # n = 17..JACOBI_MAX_N: the (K,n,n,n) elementwise intermediate
+        # no longer fits comfortably (n=64, K=4096, f64 -> 8 GB); a
+        # batched GEMM at this size is substantial enough for the MXU.
         return jnp.matmul(evecs * evals[..., None, :],
                           evecs.swapaxes(-1, -2),
                           precision="highest")

@@ -4,10 +4,10 @@ backend (TPU under axon; CPU otherwise).
 Prints one JSON line per config: batched instance-iterations/s, plus a
 workload-specific correctness figure so a throughput number can never
 hide a broken solve.  ``python benches/bench_workloads.py [config ...]``
-with configs from {bp, lasso, spm, spmf, sdp, sdp32, rpca, glasso,
-huber, lpath}; default runs the five BASELINE configs (spmf = just the
-fused-mixed SpM row; sdp32/rpca/glasso/huber are the round-4 extended
-rows — run them by name).
+with configs from {bp, lasso, spm, spmf, sdp, sdp32, sdp128, rpca,
+glasso, huber, lpath}; default runs the five BASELINE configs (spmf =
+just the fused-mixed SpM row; sdp32/rpca/glasso/huber are the round-4
+extended rows, sdp128 the round-5 large-slice row — run them by name).
 
 The headline driver benchmark stays ``bench.py`` (basis pursuit only).
 """
@@ -339,6 +339,66 @@ def bench_sdp32(dtype):
           ref_ips=ref)
 
 
+def bench_sdp128(dtype):
+    """SDP with one 128x128 slice per instance — the round-5 envelope
+    extension (previous loop-safe ceiling was k = 64; the reference
+    projects any slice size via its per-slice Python loop,
+    objectivefunc.py:322-327).  A/B: scan-rolled Jacobi prox vs the
+    vmapped in-loop XLA eigh, plus the mixed recipe.  N = k^2 = 16384,
+    so the quadratic block rides the thin-spectral path (rank-M
+    eigenbasis of A A†)."""
+    import jax.numpy as jnp
+
+    from admmsolver_tpu.models.applications import sdp_model
+    from admmsolver_tpu.ops import prox as prox_mod
+    from admmsolver_tpu.parallel import BatchedSolver
+
+    k, rest, B, niter = 128, 1, 16, 50
+    shape = (k, k, rest)
+    N = k * k * rest
+    M = N // 8
+    rng = np.random.RandomState(15)
+    A = rng.randn(M, N)
+    Q = rng.randn(k, k)
+    xt = (Q @ Q.T / k).reshape(k, k, rest)
+    y = A @ xt.reshape(-1)
+    ys = y[None, :] + 1e-4 * rng.randn(B, M)
+    ov = {(0, "y"): jnp.asarray(ys, dtype=dtype)}
+    ref = _ref_rate(lambda ref: _ref_sdp(ref, A, y, shape, 2), niter=5)
+
+    for label, ceil in (("jacobi", 256), ("xla_eigh", 16)):
+        old = prox_mod.JACOBI_MAX_N
+        prox_mod.JACOBI_MAX_N = ceil
+        try:
+            model = sdp_model(A, y, shape, axis=2)
+            bs = BatchedSolver(model, dtype=dtype)
+            res, dt = _time_solve(lambda: bs.solve(
+                ov, niter=niter, rtol=0.0, record_residuals=False),
+                repeats=1)
+            X = np.asarray(res.x[1], np.float64).reshape(B, *shape)
+            lam = np.linalg.eigvalsh(np.moveaxis(X, (1, 2), (-2, -1)))
+            finite = bool(np.isfinite(np.asarray(res.x[1])).all())
+            _emit(f"sdp_k128_{label}", B, niter, dt,
+                  {"min_eigenvalue_psd_block": round(float(lam.min()), 9),
+                   "finite": finite},
+                  ref_ips=ref)
+        finally:
+            prox_mod.JACOBI_MAX_N = old
+
+    nit_m = 4 * niter
+    model = sdp_model(A, y, shape, axis=2)
+    bs = BatchedSolver(model, dtype=dtype)
+    resm, dtm = _time_solve(lambda: bs.solve_mixed(
+        ov, niter_low=3 * nit_m // 4, niter=nit_m - 3 * nit_m // 4,
+        rtol=0.0, low_rtol=0.0, record_residuals=False), repeats=1)
+    Xm = np.asarray(resm.x[1], np.float64).reshape(B, *shape)
+    lamm = np.linalg.eigvalsh(np.moveaxis(Xm, (1, 2), (-2, -1)))
+    _emit("sdp_k128_mixed", B, nit_m, dtm,
+          {"min_eigenvalue_psd_block": round(float(lamm.min()), 9),
+           "finite": bool(np.isfinite(np.asarray(resm.x[1])).all())},
+          ref_ips=ref)
+
+
 def bench_rpca(dtype):
     """Robust PCA (round-3 model family, first hardware row): batched
     nuclear-norm + offset-L1 decomposition.  The SVD route is the
@@ -486,6 +546,7 @@ def main():
     table = {"bp": bench_bp, "lasso": bench_lasso, "spm": bench_spm,
              "spmf": lambda d: bench_spm(d, rows=("fused",)),
              "sdp": bench_sdp, "sdp32": bench_sdp32,
+             "sdp128": bench_sdp128,
              "rpca": bench_rpca, "glasso": bench_group_lasso,
              "huber": bench_huber, "lpath": bench_lpath}
     for n in names:

@@ -496,3 +496,45 @@ def test_batched_per_instance_A_guards():
     bs2 = BatchedSolver(_bp_template(big, rng.randn(4)))
     with pytest.raises(ValueError, match="n <= 128"):
         bs2.solve({(0, "A"): rng.randn(B, 4, 200)}, niter=5)
+
+
+def test_batched_psd_block_large_slice():
+    """128-class slice sizes (here k=72 > the old 64 ceiling) run through
+    the scan-rolled Jacobi prox inside the compiled loop — the round-5
+    envelope extension (reference projects any slice size via its
+    per-slice eigh loop, objectivefunc.py:322-327).  Oracle: the same
+    engine with the prox forced onto the XLA-eigh fallback."""
+    from admmsolver_tpu import SemiPositiveDefinitePenalty
+    from admmsolver_tpu.ops import prox as prox_mod
+
+    rng = np.random.RandomState(16)
+    k, B = 72, 2
+    N = k * k
+    M = N // 8
+    A = rng.randn(M, N)
+    Q = rng.randn(k, k)
+    xt = (Q @ Q.T / k).reshape(-1)
+    ys = (A @ xt)[None, :] + 1e-4 * rng.randn(B, M)
+
+    def run():
+        m = Model([LeastSquares(1.0, A, ys[0]),
+                   SemiPositiveDefinitePenalty((k, k, 1), axis=2)],
+                  [(1, 0, identity(N), identity(N))])
+        return BatchedSolver(m).solve({(0, "y"): ys}, niter=40,
+                                      record_residuals=False)
+
+    assert prox_mod.JACOBI_MAX_N >= 128
+    res = run()
+    old = prox_mod.JACOBI_MAX_N
+    prox_mod.JACOBI_MAX_N = 16   # force the XLA-eigh fallback
+    try:
+        ref = run()
+    finally:
+        prox_mod.JACOBI_MAX_N = old
+    for a, b in zip(res.x, ref.x):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-9)
+    X = np.asarray(res.x[1]).reshape(B, k, k)
+    lam = np.linalg.eigvalsh(0.5 * (X + X.swapaxes(-1, -2)))
+    assert lam.min() > -1e-8

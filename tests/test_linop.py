@@ -521,17 +521,19 @@ class TestJacobiEigh:
         H = H + H.conj().swapaxes(-1, -2)
         with pytest.raises(TypeError):
             jacobi_eigh(jnp.asarray(H))
-        big = self._sym(rng, 2, 65)
+        big = self._sym(rng, 2, 257)
         with pytest.raises(ValueError):
             jacobi_eigh(jnp.asarray(big))
 
     def test_scanned_path_matches_lapack(self):
-        """n = 17..64 takes the scan-rolled schedule (_jacobi_eigh_scan)
-        — full f64 accuracy at the default sweep budget."""
+        """n = 17..256 takes the scan-rolled schedule (_jacobi_eigh_scan)
+        — full f64 accuracy at the default sweep budget.  The >64 sizes
+        are the round-5 envelope extension (reference handles arbitrary
+        slice sizes, objectivefunc.py:322-327)."""
         from admmsolver_tpu.ops.linop import jacobi_eigh
 
         rng = np.random.RandomState(7)
-        for n in (17, 32, 33, 48, 64):
+        for n in (17, 32, 33, 48, 64, 96, 128, 256):
             A = self._sym(rng, 8, n)
             w, v = jacobi_eigh(jnp.asarray(A))
             w0 = np.linalg.eigvalsh(A)
@@ -655,7 +657,7 @@ class TestJacobiEigh:
         from admmsolver_tpu.ops.prox import psd_project
 
         rng = np.random.RandomState(11)
-        for n in (32, 64):
+        for n in (32, 64, 128):
             shape, axis = (n, n, 3), 2
             x = rng.randn(int(np.prod(shape)))
             got = np.asarray(psd_project(jnp.asarray(x), shape, axis))
@@ -668,14 +670,14 @@ class TestJacobiEigh:
             np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
 
     def test_psd_project_complex_hermitian_via_realify_embedding(self):
-        """Complex Hermitian slices (n <= 32) project through the real
-        2n x 2n embedding — all-real arithmetic, matching the per-slice
-        complex LAPACK construction the reference runs
-        (objectivefunc.py:322-327)."""
+        """Complex Hermitian slices (n <= 128 since round 5) project
+        through the real 2n x 2n embedding — all-real arithmetic,
+        matching the per-slice complex LAPACK construction the
+        reference runs (objectivefunc.py:322-327)."""
         from admmsolver_tpu.ops.prox import psd_project
 
         rng = np.random.RandomState(12)
-        for n in (4, 12, 24):
+        for n in (4, 12, 24, 80):
             shape, axis = (n, n, 3), 2
             x = (rng.randn(int(np.prod(shape)))
                  + 1j * rng.randn(int(np.prod(shape))))
