@@ -140,6 +140,35 @@ class BatchedSolver:
         self.sharding = sharding
         self._compiled_cache: Dict = {}
 
+    # -- recipe auto-selection ---------------------------------------------
+    #: Horizon below which the mixed hand-off's fixed costs (second
+    #: dispatch + fresh full-precision factor phase) beat its win
+    #: (measured: 54.8k mixed vs 63.7k pure f64 at 100 iters, 165.8k vs
+    #: 72.0k at 400 — BENCH_NOTES lesson 12).
+    MIXED_MIN_NITER = 200
+
+    def _auto_mixed_applies(self, niter: int, dtype) -> bool:
+        """True when ``recipe='auto'`` should take the mixed-precision
+        path: TPU backend, f64 state, an eigh/SVD-heavy prox block
+        (where the f32 iteration is ~6-7x cheaper, BENCH_NOTES lessons
+        12/15), and a horizon past the hand-off break-even.  The
+        decision is measured folklore from BENCH_NOTES encoded as code —
+        on CPU (native f64) or GEMM-bound workloads mixed does not pay
+        (lesson 3), so plain runs."""
+        from ..models.objectivefunc import (NuclearNormPenalty,
+                                            SemiPositiveDefinitePenalty)
+
+        if jax.default_backend() != "tpu":
+            return False
+        dt = jnp.dtype(dtype) if dtype is not None else self.dtype
+        if dt != jnp.float64:
+            return False
+        if niter < self.MIXED_MIN_NITER:
+            return False
+        return any(isinstance(f, (SemiPositiveDefinitePenalty,
+                                  NuclearNormPenalty))
+                   for f in self.model.functions)
+
     # -- parameter binding -------------------------------------------------
     def _bind(self, ov: Dict):
         """Per-instance objective clones from an override dict (unbatched
@@ -453,7 +482,8 @@ class BatchedSolver:
               record_residuals: Union[bool, int] = True,
               dtype=None,
               chunked_checks: bool = False,
-              done0=None) -> BatchResult:
+              done0=None,
+              recipe: str = "auto") -> BatchResult:
         """Solve the batch.  Reference-default knobs
         (``optimizer.py:302-309,277,125``); ``atol`` adds an absolute
         primal+dual residual stop (0 = off); ``fact_incr``/``th_change``
@@ -473,9 +503,35 @@ class BatchedSolver:
         False = none.  ``done0``: optional (B,) bool mask of lanes to
         freeze from the start (parked lanes in schedulers, already-
         converged lanes on resume); frozen lanes cost no sweeps and do
-        not hold up the global convergence exit."""
+        not hold up the global convergence exit.
+
+        ``recipe``: ``"auto"`` (default) applies the hardware-validated
+        fast configuration for the workload — currently: eigh/SVD-heavy
+        prox blocks (PSD / nuclear norm) on TPU in f64 at a >= 200
+        iteration horizon route through the mixed-precision recipe (3/4
+        f32 + f64 polish; 2.3x at k=8, 1.5x at k=32, matched solution
+        quality — BENCH_NOTES lessons 12/15).  ``"plain"`` forces the
+        single-phase solve (exact reference trajectory semantics);
+        ``"mixed"`` forces the mixed recipe."""
         if niter <= 0:
             raise ValueError("niter must be positive for batched solves")
+        if recipe not in ("auto", "plain", "mixed"):
+            raise ValueError(f"recipe must be auto|plain|mixed, {recipe!r}")
+        if recipe == "mixed" or (
+                recipe == "auto"
+                and self._auto_mixed_applies(niter, dtype)):
+            nl = 3 * niter // 4
+            return self.solve_mixed(
+                overrides, niter_low=nl, niter=niter - nl,
+                # fixed-iteration runs (rtol=atol=0) burn the full f32
+                # budget; convergence runs let phase 1 exit at plateau
+                low_rtol=(0.0 if (rtol == 0.0 and atol == 0.0) else 1e-6),
+                batch_size=batch_size, x0=x0, h0=h0, mu0=mu0,
+                interval_update_mu=interval_update_mu, update_h=update_h,
+                rtol=rtol, atol=atol, fact_incr=fact_incr,
+                th_change=th_change, max_mu=max_mu,
+                record_residuals=record_residuals,
+                chunked_checks=chunked_checks, done0=done0)
         if dtype is None:
             dtype = self.dtype
         else:
@@ -773,6 +829,9 @@ class BatchedSolver:
 
         from ..utils.checkpoint import load_batch_result, save_batch_result
 
+        # segments continue exact state; the mixed recipe's f32 phase
+        # would truncate a warm-started carry mid-run
+        kw.setdefault("recipe", "plain")
         x0 = h0 = None
         done_iters = 0
         total = None
@@ -832,18 +891,20 @@ class BatchedSolver:
         solves, many calls).  Sharded solvers always take the
         two-dispatch path (``solve`` owns placement).
         """
+        kw.pop("recipe", None)  # the phases ARE the recipe
         if fused and self.sharding is None:
             return self._solve_mixed_fused(
                 overrides, niter_low=niter_low, niter=niter,
                 low_dtype=low_dtype, low_rtol=low_rtol, **kw)
         p1 = self.solve(overrides, niter=niter_low, dtype=low_dtype,
-                        rtol=low_rtol,
+                        rtol=low_rtol, recipe="plain",
                         **{k: v for k, v in kw.items()
                            if k not in ("rtol", "atol")})
-        # phase 2 continues phase 1's state; a user mu0 seeds phase 1 only
+        # phase 2 continues phase 1's state; user x0/h0/mu0 seed phase 1
         p2 = self.solve(overrides, x0=p1.x, h0=p1.h, mu0=p1.mu,
-                        niter=niter,
-                        **{k: v for k, v in kw.items() if k != "mu0"})
+                        niter=niter, recipe="plain",
+                        **{k: v for k, v in kw.items()
+                           if k not in ("mu0", "x0", "h0")})
         return BatchResult(
             x=p2.x, h=p2.h, mu=p2.mu,
             iterations=p1.iterations + p2.iterations,

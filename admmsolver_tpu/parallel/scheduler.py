@@ -59,6 +59,9 @@ class ScenarioScheduler:
         self.rtol = rtol
         self.atol = atol
         self.mu0 = float(mu0)
+        # waves continue exact per-lane state; the auto mixed recipe
+        # would truncate warm-started carries to f32 each wave
+        solve_kw.setdefault("recipe", "plain")
         self.solve_kw = solve_kw
 
     def run(self, scenarios: Iterable[Dict]) -> List[ScenarioResult]:

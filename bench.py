@@ -7,9 +7,20 @@ independent instances in one compiled graph on the active backend (TPU
 under the driver) and report **instance-iterations per second per chip**.
 
 ``vs_baseline`` = our throughput / the reference implementation's
-single-instance NumPy throughput measured live on this host's CPU (the
-reference has no parallelism — SURVEY.md §2.2 — so its chip-equivalent
-throughput IS its single-instance rate).
+single-instance NumPy throughput (the reference has no parallelism —
+SURVEY.md §2.2 — so its chip-equivalent throughput IS its
+single-instance rate).  The denominator is PINNED in
+``BASELINE.json["measured"]`` (median of 7 repeats on this host's CPU);
+a live re-measure is reported separately as ``ref_iters_per_s_live`` so
+drift is visible without making the headline ratio jitter.
+
+``mfu_vs_emulation_ceiling`` makes the headline self-justifying: the
+per-iteration MXU work of the thin-spectral solve is two (B,N)x(N,r)
+GEMMs (4·N·r FLOP per instance-iteration), and the same process times a
+bare f64 GEMM of exactly that shape to get the achievable f64-emulation
+FLOP rate on this chip.  achieved/ceiling ≈ 1 means the flat ~1.3M
+inst-iters/s headline sits at the f64 emulation roofline (BENCH_NOTES
+lesson 8); a low ratio would reveal headroom.
 
 Prints exactly one JSON line.
 """
@@ -71,8 +82,32 @@ def bench_tpu(A, ys, xtrue, niter, dtype_name="float64", repeats=3):
     return B * niter / dt, dt, res
 
 
+def measure_emulation_ceiling(B, N, r, dtype_name="float64", repeats=5):
+    """Achievable f64(-emulated) GEMM FLOP/s for the workload's own
+    dominant contraction shape ((B,N) @ (N,r), precision=HIGHEST — the
+    solve path's setting)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.RandomState(1).randn(B, N),
+                    jnp.dtype(dtype_name))
+    w = jnp.asarray(np.random.RandomState(2).randn(N, r),
+                    jnp.dtype(dtype_name))
+    f = jax.jit(lambda x, w: jnp.matmul(
+        x, w, precision=jax.lax.Precision.HIGHEST))
+    jax.block_until_ready(f(x, w))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x, w))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    return 2.0 * B * N * r / dt
+
+
 def bench_reference(A, y, niter):
-    """Single-instance reference throughput (NumPy, this host's CPU)."""
+    """Single-instance reference throughput (NumPy, this host's CPU) —
+    live drift check; the pinned denominator lives in BASELINE.json."""
     sys.path.insert(0, "/root/reference/src")
     try:
         from admmsolver.matrix import identity as ref_identity
@@ -104,17 +139,32 @@ def main():
 
     ours_ips, dt, res = bench_tpu(A, ys, xtrue, niter)
 
-    ref_ips = bench_reference(A, ys[0], 50)
+    with open("BASELINE.json") as f:
+        pinned = json.load(f).get("measured", {}).get(
+            "reference_cpu_single_instance_iters_per_s")
+    ref_live = bench_reference(A, ys[0], 50)
+    ref_ips = pinned or ref_live
     vs = (ours_ips / ref_ips) if ref_ips else None
+
+    # Roofline: thin-spectral solve = two (B,N)x(N,r) GEMMs per
+    # iteration, r = rank(A†A) = M here -> 4*N*r FLOP per instance-iter.
+    flop_per_inst_iter = 4.0 * N * M
+    achieved = ours_ips * flop_per_inst_iter
+    ceiling = measure_emulation_ceiling(B, N, M)
 
     print(json.dumps({
         "metric": "batched ADMM instance-iterations/s per chip "
                   f"(basis pursuit {M}x{N}, batch {B}, float64; reference "
                   "baseline = its single-instance NumPy iters/s on this "
-                  "host CPU)",
+                  "host CPU, pinned in BASELINE.json)",
         "value": round(ours_ips, 1),
         "unit": "instance-iters/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "ref_iters_per_s_pinned": pinned,
+        "ref_iters_per_s_live": round(ref_live, 1) if ref_live else None,
+        "achieved_f64_gflop_per_s": round(achieved / 1e9, 1),
+        "emulation_ceiling_gflop_per_s": round(ceiling / 1e9, 1),
+        "mfu_vs_emulation_ceiling": round(achieved / ceiling, 3),
     }))
 
 

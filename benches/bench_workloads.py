@@ -251,7 +251,8 @@ def bench_sdp(dtype):
     bs = BatchedSolver(model, dtype=dtype)
     ov = {(0, "y"): jnp.asarray(ys, dtype=dtype)}
     res, dt = _time_solve(lambda: bs.solve(
-        ov, niter=niter, rtol=0.0, record_residuals=False))
+        ov, niter=niter, rtol=0.0, record_residuals=False,
+        recipe="plain"))
     X = np.asarray(res.x[1], np.float64).reshape(B, k, k, rest)
     lam_min = np.linalg.eigvalsh(
         np.moveaxis(X, (1, 2), (-2, -1))).min()
@@ -311,8 +312,8 @@ def bench_sdp32(dtype):
             model = sdp_model(A, y, shape, axis=2)
             bs = BatchedSolver(model, dtype=dtype)
             res, dt = _time_solve(lambda: bs.solve(
-                ov, niter=niter, rtol=0.0, record_residuals=False),
-                repeats=1)
+                ov, niter=niter, rtol=0.0, record_residuals=False,
+                recipe="plain"), repeats=1)
             X = np.asarray(res.x[1], np.float64).reshape(B, *shape)
             lam_min = np.linalg.eigvalsh(
                 np.moveaxis(X, (1, 2), (-2, -1))).min()
@@ -373,8 +374,8 @@ def bench_sdp128(dtype):
             model = sdp_model(A, y, shape, axis=2)
             bs = BatchedSolver(model, dtype=dtype)
             res, dt = _time_solve(lambda: bs.solve(
-                ov, niter=niter, rtol=0.0, record_residuals=False),
-                repeats=1)
+                ov, niter=niter, rtol=0.0, record_residuals=False,
+                recipe="plain"), repeats=1)
             X = np.asarray(res.x[1], np.float64).reshape(B, *shape)
             lam = np.linalg.eigvalsh(np.moveaxis(X, (1, 2), (-2, -1)))
             finite = bool(np.isfinite(np.asarray(res.x[1])).all())
@@ -420,7 +421,8 @@ def bench_rpca(dtype):
     bs = BatchedSolver(rpca_model(Ys[0]), dtype=dtype)
     ov = {(1, "offset"): jnp.asarray(Ys.reshape(B, -1), dtype=dtype)}
     res, dt = _time_solve(lambda: bs.solve(
-        ov, niter=niter, rtol=0.0, record_residuals=False), repeats=1)
+        ov, niter=niter, rtol=0.0, record_residuals=False,
+        recipe="plain"), repeats=1)
     L = np.asarray(res.x[0], np.float64).reshape(B, m, n)
     rel = np.abs(L - L0).max() / np.abs(L0).max()
     sv = np.linalg.svd(L, compute_uv=False)

@@ -538,3 +538,83 @@ def test_batched_psd_block_large_slice():
     X = np.asarray(res.x[1]).reshape(B, k, k)
     lam = np.linalg.eigvalsh(0.5 * (X + X.swapaxes(-1, -2)))
     assert lam.min() > -1e-8
+
+
+class TestRecipeAutoSelection:
+    """The measured-best SDP configuration (BENCH_NOTES lessons 12/15)
+    encoded as ``solve(recipe=...)`` instead of folklore."""
+
+    def _sdp(self, k=6, K=2, B=3, seed=17):
+        from admmsolver_tpu import SemiPositiveDefinitePenalty
+
+        rng = np.random.RandomState(seed)
+        N = k * k * K
+        A = rng.randn(2 * N, N)
+        xt = np.zeros((B, k, k, K))
+        for b in range(B):
+            for j in range(K):
+                R = rng.randn(k, k)
+                xt[b, :, :, j] = R @ R.T / k
+        ys = xt.reshape(B, N) @ A.T
+        m = Model([LeastSquares(1.0, A, ys[0]),
+                   SemiPositiveDefinitePenalty((k, k, K), axis=2)],
+                  [(1, 0, identity(N), identity(N))])
+        return m, ys
+
+    def test_invalid_recipe_raises(self):
+        m, ys = self._sdp()
+        bs = BatchedSolver(m)
+        with pytest.raises(ValueError, match="recipe"):
+            bs.solve({(0, "y"): ys}, niter=10, recipe="fast")
+
+    def test_forced_mixed_matches_plain_quality(self):
+        """recipe='mixed' routes through the validated 3/4-f32 + f64
+        polish split and reaches the same solution as plain f64."""
+        m, ys = self._sdp()
+        bs = BatchedSolver(m)
+        plain = bs.solve({(0, "y"): ys}, niter=400, rtol=0.0,
+                         record_residuals=False, recipe="plain")
+        mixed = bs.solve({(0, "y"): ys}, niter=400, rtol=0.0,
+                         record_residuals=False, recipe="mixed")
+        assert mixed.x[0].dtype == plain.x[0].dtype
+        assert np.isfinite(np.asarray(mixed.x[1])).all()
+        np.testing.assert_allclose(np.asarray(mixed.x[0]),
+                                   np.asarray(plain.x[0]), atol=2e-5)
+        # total budget preserved across the phase split
+        np.testing.assert_array_equal(np.asarray(mixed.iterations), 400)
+
+    def test_auto_decision_matrix(self, monkeypatch):
+        """auto fires exactly for (TPU, f64, spectral prox, horizon >=
+        200); everything else stays plain."""
+        import jax
+        import jax.numpy as jnp
+
+        m, ys = self._sdp()
+        bs = BatchedSolver(m)
+        # CPU: never
+        assert not bs._auto_mixed_applies(1000, None)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert bs._auto_mixed_applies(200, None)
+        assert bs._auto_mixed_applies(1000, jnp.float64)
+        assert not bs._auto_mixed_applies(199, None)       # short horizon
+        assert not bs._auto_mixed_applies(1000, jnp.float32)
+        # GEMM-bound model (no spectral prox): mixed does not pay
+        bp = BatchedSolver(_bp_template(np.random.RandomState(0)
+                                        .randn(6, 12),
+                                        np.zeros(6)))
+        assert not bp._auto_mixed_applies(1000, None)
+
+    def test_auto_routes_on_fake_tpu(self, monkeypatch):
+        """End-to-end: with the backend reported as TPU, plain solve()
+        at a 400-iteration horizon produces the mixed trajectory."""
+        import jax
+
+        m, ys = self._sdp()
+        bs = BatchedSolver(m)
+        forced = bs.solve({(0, "y"): ys}, niter=400, rtol=0.0,
+                          record_residuals=False, recipe="mixed")
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        auto = bs.solve({(0, "y"): ys}, niter=400, rtol=0.0,
+                        record_residuals=False)
+        for a, b in zip(auto.x, forced.x):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
