@@ -68,9 +68,12 @@ class ADMMPlan:
         self.block_sizes = [f.size_x for f in model.functions]
 
         # Per-block k: terms of h_k (optimizer.py:175-207).  Each term is
-        # (pair_idx, sign, E[i,k]^H, EcE[(k,i)], partner i); sign +1 for
-        # i < k, -1 for i > k.
-        self.hk_terms: List[List[Tuple[int, float, MatrixBase, MatrixBase, int]]] = []
+        # (pair_idx, sign, E[i,k]^H, EcE[(k,i)], partner i, E[(k,i)],
+        # E[(i,k)]); sign +1 for i < k, -1 for i > k.  The last two
+        # operators (partner's and own constraint maps) feed the
+        # over-relaxation path only; the plain sweep uses the combined
+        # EcE product.
+        self.hk_terms: List[List[Tuple]] = []
         # Per-block k: penalty terms (pair_idx, EcE2[(i,k)])
         # (optimizer.py:209-230).
         self.mu_terms: List[List[Tuple[int, MatrixBase]]] = []
@@ -87,7 +90,8 @@ class ADMMPlan:
                 sign = 1.0 if i < k else -1.0
                 terms.append((self.pair_index[pair], sign,
                               model.E[(i, k)].conjugate().T,
-                              model.EcE[(k, i)], i))
+                              model.EcE[(k, i)], i,
+                              model.E[(k, i)], model.E[(i, k)]))
                 muterms.append((self.pair_index[pair], model.EcE2[(i, k)]))
             self.hk_terms.append(terms)
             self.mu_terms.append(muterms)
@@ -189,12 +193,34 @@ class ADMMPlan:
             out = t if out is None else out + t
         return out
 
-    def sweep(self, x, h, mu, factors, update_h: bool, functions=None):
+    def sweep(self, x, h, mu, factors, update_h: bool, functions=None,
+              relax: float = 1.0):
         """One Gauss–Seidel sweep + dual ascent (optimizer.py:322-341).
 
         Returns (x_new, h_new, pair_products) where pair_products caches the
         per-pair coupling matvecs for the fused residual computation.
+
+        ``relax`` != 1.0 enables over-relaxation (no reference
+        counterpart; ``ADMMConfig.relax``): in every pair, the EARLIER-
+        updated member's constraint image is replaced by ``relax * (E_kj
+        x_j_new) + (1 - relax) * (E_jk x_k_prev)`` in the later block's
+        subproblem and in the dual ascent.  At any constraint-feasible
+        point the two images coincide, so fixed points — and hence the
+        solutions the oracle tests pin — are exactly preserved; the
+        branch is STATIC (relax is an ADMMConfig field), so the default
+        1.0 compiles the byte-identical reference sweep.
         """
+        relax_on = float(relax) != 1.0
+        if relax_on and self.npairs != 1:
+            # Over-relaxation theory is 2-block; on multi-pair Gauss-
+            # Seidel sweeps the relaxed images conflict and the
+            # iteration stalls short of tolerance (measured round 5:
+            # both the SpM star topology and a 3-block chain plateau at
+            # ~1e-4 with relax=1.3..1.7 while relax=1.0 converges).
+            # Static structure -> fail at trace time, not silently.
+            raise ValueError(
+                "relax != 1.0 is supported for single-pair (2-block) "
+                f"models only; this model has {self.npairs} pairs")
         x_new = list(x)
         for k, f in enumerate(functions or self.model.functions):
             # named scopes label the per-block prox phases in jax.profiler
@@ -203,12 +229,20 @@ class ADMMPlan:
                 terms = self.hk_terms[k]
                 if terms:
                     hk = None
-                    for p_idx, sign, EikH, EcE_ki, i in terms:
+                    for p_idx, sign, EikH, EcE_ki, i, E_ki, E_ik in terms:
                         # Gauss–Seidel: partners i<k already updated this
                         # sweep.
                         xi = x_new[i]
-                        t = sign * (EikH @ h[p_idx]) \
-                            - mu[p_idx] * (EcE_ki @ xi)
+                        if relax_on and i < k:
+                            # relaxed partner image: mix with this
+                            # block's own previous image
+                            r = (relax * (E_ki @ xi)
+                                 + (1.0 - relax) * (E_ik @ x[k]))
+                            t = sign * (EikH @ h[p_idx]) \
+                                - mu[p_idx] * (EikH @ r)
+                        else:
+                            t = sign * (EikH @ h[p_idx]) \
+                                - mu[p_idx] * (EcE_ki @ xi)
                         hk = t if hk is None else hk + t
                 else:
                     hk = jnp.zeros(f.size_x, dtype=x[k].dtype)
@@ -230,10 +264,16 @@ class ADMMPlan:
 
             h_new = list(h)
             if update_h:
-                for idx in range(self.npairs):
+                for idx, (i, j) in enumerate(self.pairs):
                     # h[i,j] += mu * (E[j,i] x_i - E[i,j] x_j)
-                    # (optimizer.py:334-341)
-                    h_new[idx] = h[idx] + mu[idx] * (p2s[idx] - p1s[idx])
+                    # (optimizer.py:334-341); under relaxation the
+                    # earlier member's (j's) image is the same relaxed
+                    # mix the later block's subproblem consumed.
+                    p1 = p1s[idx]
+                    if relax_on:
+                        p1 = (relax * p1
+                              + (1.0 - relax) * (self.E_ji[idx] @ x[i]))
+                    h_new[idx] = h[idx] + mu[idx] * (p2s[idx] - p1)
 
         return tuple(x_new), tuple(h_new), (p1s, p2s)
 
@@ -297,7 +337,8 @@ class ADMMPlan:
         active = jnp.logical_not(done)
 
         x_new, h_new, prods = self.sweep(
-            x, h, mu, factors, cfg.update_h, functions)
+            x, h, mu, factors, cfg.update_h, functions,
+            relax=cfg.relax)
 
         if not compute_residuals:
             # Sweep-only iteration (the chunked-checks fast mode: residual
@@ -524,10 +565,12 @@ class SimpleOptimizer:
               interval_update_mu: int = 100, update_h: bool = True,
               rtol: float = 1e-12, atol: float = 0.0,
               fact_incr: float = 2.0, th_change: float = 10.0,
-              record_residuals: bool = True) -> None:
+              record_residuals: bool = True,
+              relax: float = 1.0) -> None:
         """``fact_incr``/``th_change`` tune the residual-balancing penalty
         adaptation, as the reference's ``update_mu`` accepts
-        (``optimizer.py:277``)."""
+        (``optimizer.py:277``); ``relax`` enables over-relaxation
+        (``ADMMConfig.relax`` — engine extension, default off)."""
         if niter <= 0:
             # The reference's `for iter in range(0)` is a no-op
             # (optimizer.py:310).
@@ -540,7 +583,8 @@ class SimpleOptimizer:
                 niter=int(niter),
                 interval_update_mu=int(interval_update_mu),
                 update_h=bool(update_h), max_mu=self._max_mu,
-                fact_incr=float(fact_incr), th_change=float(th_change))
+                fact_incr=float(fact_incr), th_change=float(th_change),
+                relax=float(relax))
             run = self._plan._compiled_run(cfg, bool(record_residuals))
             x, xp, h, mu, done, count, pbuf, dbuf = run(
                 self._x, self._h, self._mu, (rtol, atol),
@@ -560,7 +604,8 @@ class SimpleOptimizer:
             niter=1,
             interval_update_mu=int(interval_update_mu),
             update_h=bool(update_h), max_mu=self._max_mu,
-            fact_incr=float(fact_incr), th_change=float(th_change))
+            fact_incr=float(fact_incr), th_change=float(th_change),
+            relax=float(relax))
         run1 = self._plan._compiled_run(cfg1)
         for it in range(int(niter)):
             x, xp, h, mu, done, count, pbuf, dbuf = run1(

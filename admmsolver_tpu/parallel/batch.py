@@ -183,7 +183,8 @@ class BatchedSolver:
             for k, f in enumerate(self.model.functions)
         ]
 
-    def _validate_overrides(self, overrides: Dict) -> int:
+    def _validate_overrides(self, overrides: Dict,
+                            allow_large_A: bool = False) -> int:
         batch = None
         for (k, field), val in overrides.items():
             f = self.model.functions[k]
@@ -204,13 +205,15 @@ class BatchedSolver:
                 # the factor state small AND inside inv_hpd_schur's
                 # straight-line envelope (XLA's batched Cholesky costs
                 # ~1 s/call in any dtype, BENCH_NOTES lesson 7).
-                if f.size_x > 128:
+                # ``allow_large_A`` (solve_scan) lifts the cap: the scan
+                # driver keeps only one group's factors resident.
+                if f.size_x > 128 and not allow_large_A:
                     raise ValueError(
                         f"per-instance A batching is limited to blocks "
                         f"with n <= 128 (block {k} has n={f.size_x}): "
                         "per-lane dense factors at larger n violate the "
-                        "HBM budget; shard instances over SimpleOptimizer"
-                        " runs or use rowshard for large single problems")
+                        "HBM budget; use solve_scan (amortized scan over "
+                        "instances) or rowshard for large single problems")
                 want = getattr(f, "_A").shape
                 if tuple(np.shape(val)[1:]) != tuple(want):
                     raise ValueError(
@@ -483,7 +486,8 @@ class BatchedSolver:
               dtype=None,
               chunked_checks: bool = False,
               done0=None,
-              recipe: str = "auto") -> BatchResult:
+              recipe: str = "auto",
+              relax: float = 1.0) -> BatchResult:
         """Solve the batch.  Reference-default knobs
         (``optimizer.py:302-309,277,125``); ``atol`` adds an absolute
         primal+dual residual stop (0 = off); ``fact_incr``/``th_change``
@@ -531,7 +535,7 @@ class BatchedSolver:
                 rtol=rtol, atol=atol, fact_incr=fact_incr,
                 th_change=th_change, max_mu=max_mu,
                 record_residuals=record_residuals,
-                chunked_checks=chunked_checks, done0=done0)
+                chunked_checks=chunked_checks, done0=done0, relax=relax)
         if dtype is None:
             dtype = self.dtype
         else:
@@ -607,7 +611,8 @@ class BatchedSolver:
                          interval_update_mu=int(interval_update_mu),
                          update_h=bool(update_h), max_mu=float(max_mu),
                          fact_incr=float(fact_incr),
-                         th_change=float(th_change))
+                         th_change=float(th_change),
+                         relax=float(relax))
         ov_keys = tuple(sorted(overrides.keys()))
         ov_vals = tuple(jnp.asarray(overrides[k]) for k in ov_keys)
         record, stride = _parse_record_residuals(record_residuals)
@@ -794,6 +799,114 @@ class BatchedSolver:
         xg, hg, mug, done, count, pbuf, dbuf = run(ov_stack, x, h, mu,
                                                    (rtol, atol))
         flat = lambda a: jnp.reshape(a, (G * gs,) + a.shape[2:])[:n]
+        return BatchResult(
+            x=tuple(flat(a) for a in xg),
+            h=tuple(flat(a) for a in hg),
+            mu=flat(mug), iterations=flat(count), converged=flat(done),
+            primal_residual=flat(pbuf), dual_residual=flat(dbuf))
+
+    def solve_scan(self,
+                   overrides: Dict,
+                   group_size: int = 1,
+                   x0: Optional[Sequence] = None,
+                   h0: Optional[Sequence] = None,
+                   mu0=1.0,
+                   niter: int = 10000,
+                   interval_update_mu: int = 100,
+                   update_h: bool = True,
+                   rtol: float = 1e-12,
+                   atol: float = 0.0,
+                   fact_incr: float = 2.0,
+                   th_change: float = 10.0,
+                   max_mu: float = 1e3,
+                   record_residuals: Union[bool, int] = False,
+                   chunked_checks: bool = False,
+                   relax: float = 1.0) -> BatchResult:
+        """Amortized sequential solve: ``lax.map`` over instance groups
+        reusing ONE compiled group solve — one dispatch total.
+
+        The fallback for batches of LARGE heterogeneous problems (per-
+        instance ``(k, 'A')`` operators with n > 128): :meth:`solve`
+        keeps every lane's dense factor resident ((B, n, n) — an HBM
+        blowup the n <= 128 cap guards), and looping ``SimpleOptimizer``
+        from Python pays a ~30-40 ms dispatch per instance (BENCH_NOTES
+        lesson 9).  Here only ``group_size`` instances' factors exist at
+        a time, the whole schedule is one program, and each group's
+        factorization takes the non-vmapped MXU Cholesky path (n > 128
+        dense blocks, ``_inv_hpd``).  Reference analogue: one
+        ``SimpleOptimizer`` per problem (``optimizer.py:121-152``).
+
+        Wall-clock is sequential over ``B / group_size`` groups — use
+        :meth:`solve` when the factor state fits.  ``record_residuals``
+        defaults to False (histories would be (B, niter) host-side).
+        """
+        overrides = dict(overrides or {})
+        B = self._validate_overrides(overrides, allow_large_A=True)
+        if B is None:
+            raise ValueError("solve_scan needs overrides with a leading "
+                             "batch axis")
+        if niter <= 0:
+            raise ValueError("niter must be positive for batched solves")
+        g = int(group_size)
+        G = (B + g - 1) // g
+        pad_n = G * g - B
+        dtype = self.dtype
+        plan = self.plan
+
+        stack = lambda a: jnp.reshape(
+            jnp.concatenate([a, jnp.broadcast_to(a[-1:],
+                                                 (pad_n,) + a.shape[1:])])
+            if pad_n else a, (G, g) + a.shape[1:])
+        ov = {k: _cast_like(dtype, jnp.asarray(v))
+              for k, v in overrides.items()}
+        ov_keys = tuple(sorted(ov.keys()))
+        ov_stack = tuple(stack(ov[k]) for k in ov_keys)
+
+        state_stack = lambda t: tuple(
+            stack(_to_state_dtype(a, dtype)) for a in t)
+        xs = (state_stack(x0) if x0 is not None else
+              tuple(jnp.zeros((G, g, n), dtype=dtype)
+                    for n in plan.block_sizes))
+        hs = (state_stack(h0) if h0 is not None else
+              tuple(jnp.zeros((G, g, s), dtype=dtype)
+                    for s in plan.pair_sizes))
+        mu0 = _cast_like(dtype, mu0)
+        if mu0.ndim == 0:
+            mus = jnp.full((G, g, plan.npairs), mu0)
+        else:
+            mus = stack(jnp.broadcast_to(
+                mu0[:, None] if mu0.ndim == 1 else mu0,
+                (B, plan.npairs)))
+
+        cfg = ADMMConfig(niter=int(niter),
+                         interval_update_mu=int(interval_update_mu),
+                         update_h=bool(update_h), max_mu=float(max_mu),
+                         fact_incr=float(fact_incr),
+                         th_change=float(th_change),
+                         relax=float(relax))
+        record, stride = _parse_record_residuals(record_residuals)
+        key = ("scan", cfg, ov_keys, record, bool(chunked_checks),
+               stride, g)
+        jitted = self._compiled_cache.get(key)
+        if jitted is None:
+            run = self._build(cfg, ov_keys, record, bool(chunked_checks),
+                              stride)
+
+            def run_scan(ov_stack, xs, hs, mus, tols):
+                def one(group):
+                    ov_g, x, h, mu = group
+                    done0 = jnp.zeros(mu.shape[0], dtype=bool)
+                    return run(ov_g, x, h, mu, tols, done0)
+
+                return jax.lax.map(one, (ov_stack, xs, hs, mus))
+
+            jitted = jax.jit(run_scan)
+            if len(self._compiled_cache) >= 32:
+                self._compiled_cache.pop(next(iter(self._compiled_cache)))
+            self._compiled_cache[key] = jitted
+        xg, hg, mug, done, count, pbuf, dbuf = jitted(
+            ov_stack, xs, hs, mus, (rtol, atol))
+        flat = lambda a: jnp.reshape(a, (G * g,) + a.shape[2:])[:B]
         return BatchResult(
             x=tuple(flat(a) for a in xg),
             h=tuple(flat(a) for a in hg),

@@ -82,27 +82,42 @@ def bench_tpu(A, ys, xtrue, niter, dtype_name="float64", repeats=3):
     return B * niter / dt, dt, res
 
 
-def measure_emulation_ceiling(B, N, r, dtype_name="float64", repeats=5):
+def measure_emulation_ceiling(B, N, r, dtype_name="float64", rounds=50,
+                              repeats=3):
     """Achievable f64(-emulated) GEMM FLOP/s for the workload's own
-    dominant contraction shape ((B,N) @ (N,r), precision=HIGHEST — the
-    solve path's setting)."""
+    dominant contraction PAIR ((B,N)@(N,r) then (B,r)@(r,N) — exactly
+    the thin-spectral solve's two per-iteration GEMMs), chained
+    ``rounds`` times inside ONE jit so the ~25-40 ms per-dispatch floor
+    (BENCH_NOTES lesson 9) is amortized to noise."""
     import jax
     import jax.numpy as jnp
 
-    x = jnp.asarray(np.random.RandomState(1).randn(B, N),
-                    jnp.dtype(dtype_name))
-    w = jnp.asarray(np.random.RandomState(2).randn(N, r),
-                    jnp.dtype(dtype_name))
-    f = jax.jit(lambda x, w: jnp.matmul(
-        x, w, precision=jax.lax.Precision.HIGHEST))
-    jax.block_until_ready(f(x, w))
+    dt_ = jnp.dtype(dtype_name)
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.asarray(np.random.RandomState(1).randn(B, N) / np.sqrt(N),
+                    dt_)
+    u1 = jnp.asarray(np.random.RandomState(2).randn(N, r) / np.sqrt(N),
+                     dt_)
+    u2 = jnp.asarray(np.random.RandomState(3).randn(r, N) / np.sqrt(r),
+                     dt_)
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            w = jnp.matmul(c, u1, precision=hi)
+            return jnp.matmul(w, u2, precision=hi), None
+
+        c, _ = jax.lax.scan(body, x, None, length=rounds)
+        return c
+
+    jax.block_until_ready(chain(x))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x, w))
+        jax.block_until_ready(chain(x))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
-    return 2.0 * B * N * r / dt
+    return rounds * 4.0 * B * N * r / dt
 
 
 def bench_reference(A, y, niter):

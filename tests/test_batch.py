@@ -618,3 +618,68 @@ class TestRecipeAutoSelection:
                         record_residuals=False)
         for a, b in zip(auto.x, forced.x):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSolveScan:
+    """Amortized scan-over-instances driver for large per-instance
+    operators (reference solves one SimpleOptimizer per problem,
+    optimizer.py:121-152; solve() caps per-instance A at n <= 128)."""
+
+    def test_matches_batched_small(self):
+        """Oracle: where both drivers apply (n <= 128), solve_scan must
+        reproduce solve() lane-for-lane."""
+        rng = np.random.RandomState(30)
+        M, N, B = 8, 12, 5
+        As = rng.randn(B, M, N)
+        ys = rng.randn(B, M)
+        m = _bp_template(As[0], ys[0])
+        bs = BatchedSolver(m)
+        ov = {(0, "A"): As, (0, "y"): ys}
+        a = bs.solve(ov, niter=150, record_residuals=False)
+        b = bs.solve_scan(ov, group_size=2, niter=150)
+        for xa, xb in zip(a.x, b.x):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                       rtol=0, atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(a.iterations),
+                                      np.asarray(b.iterations))
+        np.testing.assert_allclose(np.asarray(a.mu), np.asarray(b.mu))
+
+    def test_large_per_instance_A(self):
+        """n = 512 distinct-A basis pursuit in ONE call — the regime
+        solve() rejects (per-lane dense factors would blow the HBM
+        budget).  Short horizon: this verifies mechanics + finiteness;
+        the recovery-grade run is benches/scan_large_hw.py."""
+        rng = np.random.RandomState(31)
+        M, N, B = 64, 512, 6
+        As = rng.randn(B, M, N)
+        xt = np.zeros((B, N))
+        for b in range(B):
+            xt[b, rng.choice(N, 8, replace=False)] = rng.randn(8)
+        ys = np.einsum("bmn,bn->bm", As, xt)
+        m = _bp_template(As[0], ys[0])
+        bs = BatchedSolver(m)
+        ov = {(0, "A"): As, (0, "y"): ys}
+        with pytest.raises(ValueError, match="solve_scan"):
+            bs.solve(ov, niter=5)
+        res = bs.solve_scan(ov, group_size=3, niter=40)
+        assert res.x[0].shape == (B, N)
+        assert np.isfinite(np.asarray(res.x[0])).all()
+        # distinct problems produced distinct solutions
+        assert not np.allclose(np.asarray(res.x[0][0]),
+                               np.asarray(res.x[0][1]))
+        # and each lane actually fits its own operator
+        fit = np.linalg.norm(
+            np.einsum("bmn,bn->bm", As, np.asarray(res.x[0])) - ys,
+            axis=1) / np.linalg.norm(ys, axis=1)
+        assert fit.max() < 0.35, fit
+
+    def test_uneven_batch_padding(self):
+        rng = np.random.RandomState(32)
+        M, N, B = 6, 10, 5
+        As = rng.randn(B, M, N)
+        ys = rng.randn(B, M)
+        bs = BatchedSolver(_bp_template(As[0], ys[0]))
+        res = bs.solve_scan({(0, "A"): As, (0, "y"): ys},
+                            group_size=2, niter=30)  # G=3, pad 1
+        assert res.x[0].shape == (B, N)
+        assert np.isfinite(np.asarray(res.x[0])).all()

@@ -255,3 +255,98 @@ def test_diagonal_coupling():
     # coupling satisfied: the condition (1, 0, E1, I) means D x1 == x0
     np.testing.assert_allclose(np.asarray(d) * np.asarray(opt.x[1]).real,
                                x, atol=1e-10)
+
+
+class TestOverRelaxation:
+    """Opt-in over-relaxation (ADMMConfig.relax; engine extension, no
+    reference counterpart).  Fixed points are preserved exactly — the
+    relaxed and plain constraint images coincide at any feasible point —
+    so the oracle solutions must match; the win is iteration count."""
+
+    def _bp(self, seed=44):
+        rng = np.random.RandomState(seed)
+        M, N = 40, 120
+        A = rng.randn(M, N)
+        xt = np.zeros(N)
+        xt[rng.choice(N, 6, replace=False)] = rng.randn(6)
+        y = A @ xt
+        from admmsolver_tpu import (L1Regularizer, LeastSquares, Model,
+                                    identity)
+        m = Model([LeastSquares(1.0, A, y), L1Regularizer(0.05, N)],
+                  [(1, 0, identity(N), identity(N))])
+        return m, xt
+
+    def test_same_fixed_point_fewer_iterations(self):
+        """Classic regime (fixed mu): relax=1.8 converges to the SAME
+        solution in substantially fewer iterations (measured 736 -> 407
+        at mu=10 on this problem; with adaptive mu the interaction with
+        residual balancing is workload-dependent, so the knob is off by
+        default)."""
+        from admmsolver_tpu import SimpleOptimizer
+
+        m, xt = self._bp()
+        kw = dict(rtol=0.0, atol=1e-9, interval_update_mu=10**9)
+        plain = SimpleOptimizer(m, mu=10.0)
+        plain.solve(6000, **kw)
+        relaxed = SimpleOptimizer(m, mu=10.0)
+        relaxed.solve(6000, relax=1.8, **kw)
+        np.testing.assert_allclose(np.asarray(relaxed.x[0]),
+                                   np.asarray(plain.x[0]), atol=1e-7)
+        assert relaxed.iterations < 0.7 * plain.iterations, (
+            relaxed.iterations, plain.iterations)
+
+    def test_relax_default_bitwise_unchanged(self):
+        """relax=1.0 compiles the identical sweep: bitwise-equal
+        trajectories with an explicit relax=1.0 vs the default."""
+        from admmsolver_tpu import SimpleOptimizer
+
+        m, _ = self._bp(45)
+        a = SimpleOptimizer(m)
+        a.solve(120, rtol=0.0)
+        b = SimpleOptimizer(m)
+        b.solve(120, rtol=0.0, relax=1.0)
+        np.testing.assert_array_equal(np.asarray(a.x[0]),
+                                      np.asarray(b.x[0]))
+
+    def test_batched_relax_two_block_and_multi_pair_rejected(self):
+        """Relaxation through the batched driver lands on the plain
+        fixed point (2-block); multi-pair models raise at trace time
+        (measured round 5: both star and chain topologies stall at
+        ~1e-4 under relaxation while plain converges)."""
+        import jax.numpy as jnp
+        from admmsolver_tpu import (L1Regularizer, LeastSquares, Model,
+                                    NonNegativePenalty, identity)
+        from admmsolver_tpu.parallel import BatchedSolver
+
+        rng = np.random.RandomState(46)
+        M, N, B = 20, 30, 3
+        A = rng.randn(M, N)
+        xt = np.zeros((B, N))
+        for b in range(B):
+            xt[b, rng.choice(N, 4, replace=False)] = rng.randn(4)
+        ys = xt @ A.T
+        m = Model([LeastSquares(1.0, A, ys[0]), L1Regularizer(0.02, N)],
+                  [(1, 0, identity(N), identity(N))])
+        bs = BatchedSolver(m)
+        ov = {(0, "y"): jnp.asarray(ys)}
+        # interval == niter => penalty adapts only at iteration 0 (the
+        # batched driver's chunk scan has length `interval`, so a huge
+        # sentinel interval would actually run that many masked steps)
+        kw = dict(niter=6000, rtol=0.0, atol=1e-8,
+                  record_residuals=False, mu0=10.0,
+                  interval_update_mu=6000)
+        plain = bs.solve(ov, **kw)
+        rel = bs.solve(ov, relax=1.8, **kw)
+        assert np.asarray(rel.converged).all()
+        np.testing.assert_allclose(np.asarray(rel.x[0]),
+                                   np.asarray(plain.x[0]), atol=1e-6)
+        assert (np.asarray(rel.iterations).sum()
+                < 0.7 * np.asarray(plain.iterations).sum())
+
+        m3 = Model(
+            [LeastSquares(1.0, A, ys[0]), L1Regularizer(0.02, N),
+             NonNegativePenalty(N)],
+            [(1, 0, identity(N), identity(N)),
+             (2, 0, identity(N), identity(N))])
+        with pytest.raises(ValueError, match="single-pair"):
+            BatchedSolver(m3).solve(ov, niter=10, relax=1.6)
