@@ -19,10 +19,12 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .batch import BatchedSolver
+from ..config import ADMMConfig
+from .batch import BatchedSolver, _parse_record_residuals
 
 __all__ = ["ScenarioScheduler", "ScenarioResult"]
 
@@ -155,3 +157,157 @@ class ScenarioScheduler:
 
         results.sort(key=lambda r: r.scenario_id)
         return results
+
+    # ------------------------------------------------------------------
+    # Fully-compiled continuous batching
+    # ------------------------------------------------------------------
+    def run_compiled(self, scenarios: Iterable[Dict]) -> List[ScenarioResult]:
+        """Drain the whole stream inside ONE compiled program.
+
+        :meth:`run` drives its wave loop from the host — each wave pays
+        a per-call dispatch (~30-40 ms through the axon tunnel,
+        BENCH_NOTES lesson 9), which with ``chunk_iters=100`` on the SpM
+        workload rivals the compute (round-4 VERDICT weakness #4).  Here
+        the harvest/refill bookkeeping itself is device code: scenario
+        overrides are pre-staged as (S, ...) arrays, lane->scenario
+        assignment, converged-lane harvest (scatter into (S, ...) output
+        slots), and fresh-scenario refill (gather + state reset) all run
+        between chunks inside one ``lax.while_loop`` — one dispatch for
+        the entire stream.
+
+        Semantics match :meth:`run`: the penalty-update clock restarts
+        per wave, ``mu`` persists across a lane's waves, lanes exceeding
+        ``niter_max`` are harvested unconverged, results are per
+        scenario id.  Requires the stream to be materializable (it is
+        staged to the device up front); for unbounded/lazy streams use
+        :meth:`run`.  Unsupported ``solve_kw`` fall back to :meth:`run`.
+        """
+        scen = list(scenarios)
+        if not scen:
+            return []
+        extra = {k: v for k, v in self.solve_kw.items()
+                 if k not in ("interval_update_mu", "update_h",
+                              "fact_incr", "th_change", "max_mu",
+                              "recipe")}
+        if extra or self.solve_kw.get("recipe", "plain") != "plain":
+            return self.run(scen)
+
+        solver = self.solver
+        plan = solver.plan
+        keys = tuple(sorted(scen[0].keys()))
+        for sid, ov in enumerate(scen):
+            if tuple(sorted(ov.keys())) != keys:
+                raise ValueError(
+                    f"scenario {sid} keys {sorted(ov.keys())} != {keys}")
+        solver._validate_overrides(
+            {k: np.stack([np.asarray(ov[k]) for ov in scen[:1]])
+             for k in keys})
+        S = len(scen)
+        B = self.B
+        dtype = solver.dtype
+        ov_all = {k: jnp.asarray(np.stack([np.asarray(ov[k])
+                                           for ov in scen]))
+                  for k in keys}
+
+        cfg = ADMMConfig(
+            niter=int(self.chunk_iters),
+            interval_update_mu=int(
+                self.solve_kw.get("interval_update_mu", 100)),
+            update_h=bool(self.solve_kw.get("update_h", True)),
+            max_mu=float(self.solve_kw.get("max_mu", 1e3)),
+            fact_incr=float(self.solve_kw.get("fact_incr", 2.0)),
+            th_change=float(self.solve_kw.get("th_change", 10.0)))
+        run = solver._build(cfg, keys, False, False, 1)
+        niter_max = int(self.niter_max)
+        mu0 = float(self.mu0)
+
+        ckey = ("stream", cfg, keys, S, B, niter_max)
+        jitted = solver._compiled_cache.get(ckey)
+        if jitted is None:
+            def drain(ov_vals_all, tols):
+                ov_of = lambda sidc: tuple(
+                    jnp.take(v, sidc, axis=0) for v in ov_vals_all)
+                zx = tuple(jnp.zeros((B, n), dtype=dtype)
+                           for n in plan.block_sizes)
+                zh = tuple(jnp.zeros((B, s), dtype=dtype)
+                           for s in plan.pair_sizes)
+                zmu = jnp.full((B, plan.npairs), mu0, dtype=dtype)
+                # initial fill: scenarios 0..B-1 (beyond-S lanes parked)
+                sid0 = jnp.arange(B, dtype=jnp.int32)
+                sid0 = jnp.where(sid0 < S, sid0, -1)
+                # (S+1)-row outputs: row S is the write-off slot for
+                # non-harvesting lanes
+                outx = tuple(jnp.zeros((S + 1, n), dtype=dtype)
+                             for n in plan.block_sizes)
+                outmu = jnp.zeros((S + 1, plan.npairs), dtype=dtype)
+                outit = jnp.zeros(S + 1, dtype=jnp.int32)
+                outcv = jnp.zeros(S + 1, dtype=bool)
+                state = (sid0, jnp.asarray(min(B, S), jnp.int32),
+                         jnp.zeros(B, jnp.int32),
+                         jnp.asarray(0, jnp.int32),
+                         zx, zh, zmu, outx, outmu, outit, outcv)
+
+                def cond(state):
+                    return state[3] < S
+
+                def body(state):
+                    (sid, nxt, iters, harv, x, h, mu,
+                     outx, outmu, outit, outcv) = state
+                    parked = sid < 0
+                    sidc = jnp.maximum(sid, 0)
+                    ov_lane = ov_of(sidc)
+                    xg, hg, mug, done, count, _pb, _db = run(
+                        ov_lane, x, h, mu, tols, parked)
+                    iters2 = iters + count
+                    fin = jnp.logical_not(parked) & (
+                        done | (iters2 >= niter_max))
+                    slot = jnp.where(fin, sidc, S)
+                    outx = tuple(o.at[slot].set(a)
+                                 for o, a in zip(outx, xg))
+                    outmu = outmu.at[slot].set(mug)
+                    outit = outit.at[slot].set(iters2)
+                    outcv = outcv.at[slot].set(done)
+                    # refill finished lanes with the next scenarios, in
+                    # lane order; park when the stream is drained
+                    order = jnp.cumsum(fin.astype(jnp.int32))
+                    cand = nxt + order - 1
+                    refill = fin & (cand < S)
+                    sid_new = jnp.where(refill, cand,
+                                        jnp.where(fin, -1, sid))
+                    keep = jnp.logical_not(fin) & jnp.logical_not(parked)
+                    kb = keep[:, None]
+                    x = tuple(jnp.where(kb, a, 0.0) for a in xg)
+                    h = tuple(jnp.where(kb, a, 0.0) for a in hg)
+                    mu = jnp.where(kb, mug, mu0)
+                    iters3 = jnp.where(keep, iters2, 0)
+                    nfin = jnp.sum(fin.astype(jnp.int32),
+                                   dtype=jnp.int32)
+                    return (sid_new, nxt + nfin, iters3, harv + nfin,
+                            x, h, mu, outx, outmu, outit, outcv)
+
+                state = jax.lax.while_loop(cond, body, state)
+                (_sid, _nxt, _it, _harv, _x, _h, _mu,
+                 outx, outmu, outit, outcv) = state
+                trim = lambda a: a[:S]
+                return (tuple(trim(a) for a in outx), trim(outmu),
+                        trim(outit), trim(outcv))
+
+            jitted = jax.jit(drain)
+            if len(solver._compiled_cache) >= 32:
+                solver._compiled_cache.pop(
+                    next(iter(solver._compiled_cache)))
+            solver._compiled_cache[ckey] = jitted
+
+        ov_vals_all = tuple(ov_all[k] for k in keys)
+        outx, outmu, outit, outcv = jitted(ov_vals_all,
+                                           (self.rtol, self.atol))
+        xs = [np.asarray(a) for a in outx]
+        its = np.asarray(outit)
+        cvs = np.asarray(outcv)
+        mus = np.asarray(outmu)
+        return [ScenarioResult(
+            scenario_id=sid,
+            x=tuple(a[sid].copy() for a in xs),
+            iterations=int(its[sid]),
+            converged=bool(cvs[sid]),
+            final_mu=mus[sid].copy()) for sid in range(S)]

@@ -70,3 +70,43 @@ def test_scheduler_empty_and_mismatched():
     with pytest.raises(AssertionError, match="keys"):
         sched.run(iter([{(0, "y"): rng.randn(6)},
                         {(1, "alpha"): 0.5}]))
+
+
+def test_run_compiled_matches_host_loop():
+    """The one-dispatch compiled drain (harvest/refill as device code)
+    reproduces the host-driven wave loop scenario-for-scenario: same
+    solutions, iteration counts, convergence flags, and final mu."""
+    rng = np.random.RandomState(3)
+    M, N = 10, 24
+    A = rng.randn(M, N)
+    n_scen = 11
+    ys = rng.randn(n_scen, M)
+
+    bs = BatchedSolver(_template(A, ys[0]))
+    sched = ScenarioScheduler(bs, batch_size=4, chunk_iters=100,
+                              niter_max=3000, rtol=1e-8)
+    host = sched.run({(0, "y"): ys[i]} for i in range(n_scen))
+    comp = sched.run_compiled({(0, "y"): ys[i]} for i in range(n_scen))
+    assert len(comp) == n_scen
+    for a, b in zip(host, comp):
+        assert a.scenario_id == b.scenario_id
+        assert a.iterations == b.iterations, (a.scenario_id,
+                                              a.iterations, b.iterations)
+        assert a.converged == b.converged
+        np.testing.assert_array_equal(a.x[0], b.x[0])
+        np.testing.assert_array_equal(a.final_mu, b.final_mu)
+
+
+def test_run_compiled_budget_and_empty():
+    rng = np.random.RandomState(4)
+    M, N = 8, 16
+    A = rng.randn(M, N)
+    ys = rng.randn(5, M)
+    bs = BatchedSolver(_template(A, ys[0]))
+    sched = ScenarioScheduler(bs, batch_size=2, chunk_iters=50,
+                              niter_max=100, rtol=0.0)
+    res = sched.run_compiled({(0, "y"): ys[i]} for i in range(5))
+    assert len(res) == 5
+    assert all(not r.converged for r in res)
+    assert all(r.iterations == 100 for r in res)
+    assert sched.run_compiled(iter([])) == []
