@@ -88,7 +88,20 @@ def _check_fused_overrides(overrides, path: str) -> int:
 
 
 class FusedTwoBlockSolver:
-    """VMEM-resident fused solver for the flagship 2-block family."""
+    """VMEM-resident fused solver for the flagship 2-block family.
+
+    .. note:: **Measured verdict (round 5): prefer** :class:`~admmsolver_tpu.
+       parallel.batch.BatchedSolver` **for 2-block problems in every
+       regime.**  The XLA engine beats this kernel 2.6x in the
+       throughput regime (B >= 1024, MXU-bound — BENCH_NOTES lesson 2)
+       AND in the latency regime (B in {32, 128}, niter in {100, 500}:
+       engine wins 3/4 cells, the remaining cell is 1.05x = noise —
+       ``benches/fused_latency_hw.py``).  The class stays as a correct,
+       oracle-tested alternative and as the scaffolding the winning
+       3-block :class:`~admmsolver_tpu.parallel.fused_spm.FusedSpMSolver`
+       shares its chunk-schedule design with, but it has NO measured
+       winning regime of its own.
+    """
 
     def __init__(self, model: Model, tile_b: int = 128,
                  interpret: Optional[bool] = None) -> None:

@@ -365,7 +365,11 @@ def bench_sdp128(dtype):
     y = A @ xt.reshape(-1)
     ys = y[None, :] + 1e-4 * rng.randn(B, M)
     ov = {(0, "y"): jnp.asarray(ys, dtype=dtype)}
-    ref = _ref_rate(lambda ref: _ref_sdp(ref, A, y, shape, 2), niter=5)
+    # No live reference rate: at N = 16384 the reference's explicit
+    # N x N np.linalg.inv (objectivefunc.py:94) needs tens of GB of
+    # LAPACK workspace and segfaulted this host (round 5) — the size
+    # class is simply out of the reference's practical envelope.
+    ref = None
 
     for label, ceil in (("jacobi", 256), ("xla_eigh", 16)):
         old = prox_mod.JACOBI_MAX_N
@@ -381,7 +385,8 @@ def bench_sdp128(dtype):
             finite = bool(np.isfinite(np.asarray(res.x[1])).all())
             _emit(f"sdp_k128_{label}", B, niter, dt,
                   {"min_eigenvalue_psd_block": round(float(lam.min()), 9),
-                   "finite": finite},
+                   "finite": finite,
+                   "ref": "impractical (N=16384 dense inverse segfaults)"},
                   ref_ips=ref)
         finally:
             prox_mod.JACOBI_MAX_N = old
@@ -396,7 +401,8 @@ def bench_sdp128(dtype):
     lamm = np.linalg.eigvalsh(np.moveaxis(Xm, (1, 2), (-2, -1)))
     _emit("sdp_k128_mixed", B, nit_m, dtm,
           {"min_eigenvalue_psd_block": round(float(lamm.min()), 9),
-           "finite": bool(np.isfinite(np.asarray(resm.x[1])).all())},
+           "finite": bool(np.isfinite(np.asarray(resm.x[1])).all()),
+           "ref": "impractical (N=16384 dense inverse segfaults)"},
           ref_ips=ref)
 
 

@@ -50,7 +50,16 @@ def main():
     # per-iteration histories at this scale would be 2 x (10240, 20000)
     # f64 = 3.3 GB on a 16 GB chip; the stride keeps it at 66 MB while
     # still recording every lane's convergence curve.
-    kw = dict(niter=niter, rtol=0.0, atol=tol, record_residuals=50)
+    #
+    # Recipe (round 5): over-relaxation 1.8 + mu0=10 with the adaptive
+    # schedule — measured median 1095 iterations to 1e-10 vs 1414 for
+    # the round-1 default (mu0=1, relax off), identical solutions
+    # (relaxation preserves fixed points exactly; tests/test_optimizer
+    # TestOverRelaxation).  ``--plain`` runs the round-1 recipe for A/B.
+    kw = dict(niter=niter, rtol=0.0, atol=tol, record_residuals=50,
+              mu0=10.0, relax=1.8)
+    if "--plain" in sys.argv[1:]:
+        kw.update(mu0=1.0, relax=1.0)
 
     # warm the jit cache with the identical call shape (tiny horizon)
     warm = bs.solve(ov, **{**kw, "niter": 1})

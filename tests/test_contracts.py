@@ -136,7 +136,9 @@ def test_fused_spm_mixed_validates_record_residuals_and_overrides():
     with pytest.raises(ValueError, match="stride must be >= 1"):
         fs.solve_mixed({(0, "y"): ys}, niter_low=4, niter=4,
                        record_residuals=0)
-    with pytest.raises(ValueError, match="no batchable"):
+    # round 5: fused paths validate against their own supported set
+    # (stricter than the engine's batch_fields — see _FUSED_OV_KEYS)
+    with pytest.raises(ValueError, match="supports per-instance"):
         fs.solve_mixed({(0, "nope"): ys}, niter_low=4, niter=4)
 
 
