@@ -341,42 +341,55 @@ def bench_sdp32(dtype):
 
 
 def bench_sdp128(dtype):
-    """SDP with one 128x128 slice per instance — the round-5 envelope
-    extension (previous loop-safe ceiling was k = 64; the reference
-    projects any slice size via its per-slice Python loop,
-    objectivefunc.py:322-327).  A/B: scan-rolled Jacobi prox vs the
-    vmapped in-loop XLA eigh, plus the mixed recipe.  N = k^2 = 16384,
-    so the quadratic block rides the thin-spectral path (rank-M
-    eigenbasis of A A†)."""
+    """SDP with 128x128 slices — the round-5 envelope extension
+    (previous loop-safe ceiling was k = 64; the reference projects any
+    slice size via its per-slice Python loop, objectivefunc.py:322-327).
+
+    Workload: weighted covariance denoising / nearest-PSD-matrix —
+    ``min_X ||W^(1/2)(X - Y)||^2 s.t. X >= 0`` per instance, a diagonal
+    data operator (keeps the quadratic block O(N); a dense 16384^2 Gram
+    crashes the remote TPU compile helper AND segfaults the reference's
+    np.linalg.inv) so the per-iteration cost IS the in-loop 128x128 PSD
+    prox.  A/B: scan-rolled Jacobi prox vs the vmapped in-loop XLA
+    eigh, plus the mixed recipe."""
     import jax.numpy as jnp
 
-    from admmsolver_tpu.models.applications import sdp_model
+    from admmsolver_tpu import (DiagonalMatrix, LeastSquares, Model,
+                                SemiPositiveDefinitePenalty, identity)
     from admmsolver_tpu.ops import prox as prox_mod
     from admmsolver_tpu.parallel import BatchedSolver
 
-    k, rest, B, niter = 128, 1, 16, 50
+    k, rest, B, niter = 128, 1, 64, 50
     shape = (k, k, rest)
     N = k * k * rest
-    M = N // 8
     rng = np.random.RandomState(15)
-    A = rng.randn(M, N)
+    w = 1.0 + rng.rand(N)
     Q = rng.randn(k, k)
-    xt = (Q @ Q.T / k).reshape(k, k, rest)
-    y = A @ xt.reshape(-1)
-    ys = y[None, :] + 1e-4 * rng.randn(B, M)
-    ov = {(0, "y"): jnp.asarray(ys, dtype=dtype)}
-    # No live reference rate: at N = 16384 the reference's explicit
-    # N x N np.linalg.inv (objectivefunc.py:94) needs tens of GB of
-    # LAPACK workspace and segfaulted this host (round 5) — the size
-    # class is simply out of the reference's practical envelope.
-    ref = None
+    xt = (Q @ Q.T / k).reshape(-1)
+    ys = xt[None, :] + 0.1 * rng.randn(B, N)
+    wys = ys * w[None, :]
+    ov = {(0, "y"): jnp.asarray(wys, dtype=dtype)}
+
+    def build():
+        return Model(
+            [LeastSquares(1.0, DiagonalMatrix(w), wys[0]),
+             SemiPositiveDefinitePenalty(shape, 2)],
+            [(1, 0, identity(N), identity(N))])
+
+    def ref_build(ref):
+        p = ref.opt.Model(
+            [ref.obj.LeastSquares(1.0, ref.mat.DiagonalMatrix(w), wys[0]),
+             ref.obj.SemiPositiveDefinitePenalty(shape, 2)],
+            [(1, 0, ref.mat.identity(N), ref.mat.identity(N))])
+        return ref.opt.SimpleOptimizer(p)
+
+    ref = _ref_rate(ref_build, niter=10)
 
     for label, ceil in (("jacobi", 256), ("xla_eigh", 16)):
         old = prox_mod.JACOBI_MAX_N
         prox_mod.JACOBI_MAX_N = ceil
         try:
-            model = sdp_model(A, y, shape, axis=2)
-            bs = BatchedSolver(model, dtype=dtype)
+            bs = BatchedSolver(build(), dtype=dtype)
             res, dt = _time_solve(lambda: bs.solve(
                 ov, niter=niter, rtol=0.0, record_residuals=False,
                 recipe="plain"), repeats=1)
@@ -385,15 +398,13 @@ def bench_sdp128(dtype):
             finite = bool(np.isfinite(np.asarray(res.x[1])).all())
             _emit(f"sdp_k128_{label}", B, niter, dt,
                   {"min_eigenvalue_psd_block": round(float(lam.min()), 9),
-                   "finite": finite,
-                   "ref": "impractical (N=16384 dense inverse segfaults)"},
+                   "finite": finite},
                   ref_ips=ref)
         finally:
             prox_mod.JACOBI_MAX_N = old
 
     nit_m = 4 * niter
-    model = sdp_model(A, y, shape, axis=2)
-    bs = BatchedSolver(model, dtype=dtype)
+    bs = BatchedSolver(build(), dtype=dtype)
     resm, dtm = _time_solve(lambda: bs.solve_mixed(
         ov, niter_low=3 * nit_m // 4, niter=nit_m - 3 * nit_m // 4,
         rtol=0.0, low_rtol=0.0, record_residuals=False), repeats=1)
@@ -401,8 +412,7 @@ def bench_sdp128(dtype):
     lamm = np.linalg.eigvalsh(np.moveaxis(Xm, (1, 2), (-2, -1)))
     _emit("sdp_k128_mixed", B, nit_m, dtm,
           {"min_eigenvalue_psd_block": round(float(lamm.min()), 9),
-           "finite": bool(np.isfinite(np.asarray(resm.x[1])).all()),
-           "ref": "impractical (N=16384 dense inverse segfaults)"},
+           "finite": bool(np.isfinite(np.asarray(resm.x[1])).all())},
           ref_ips=ref)
 
 
