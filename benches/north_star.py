@@ -61,8 +61,12 @@ def main():
     if "--plain" in sys.argv[1:]:
         kw.update(mu0=1.0, relax=1.0)
 
-    # warm the jit cache with the identical call shape (tiny horizon)
-    warm = bs.solve(ov, **{**kw, "niter": 1})
+    # Warm with the IDENTICAL call: cfg.niter is a static jit key, so a
+    # tiny-horizon warmup compiles a DIFFERENT program and the measured
+    # run would pay the (cached-)compile fetch + allocation itself —
+    # that fixed cost masked a 22% iteration-count win in the round-5
+    # relax A/B before this fix.
+    warm = bs.solve(ov, **kw)
     jax.block_until_ready(warm.x)
 
     t0 = time.perf_counter()
