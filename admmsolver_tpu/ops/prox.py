@@ -10,7 +10,9 @@ maps over slices on-device.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def soft_threshold(y, lam):
@@ -51,13 +53,70 @@ def psd_project(x, shape, axis):
     return jnp.moveaxis(proj, 0, axis).ravel()
 
 
-# Jacobi-vs-XLA-eigh dispatch ceiling for the real PSD projection.
-# Module-level so hardware A/B benches (benches/sdp_k32_ab.py) can force
-# either path; 256 is the validated envelope of the scan-rolled Jacobi
-# (round 5 — sweep-convergence measured to n = 256 in both dtypes,
-# hardware-validated at n = 128; the reference handles arbitrary slice
-# sizes via its per-slice Python loop, objectivefunc.py:322-327).
-JACOBI_MAX_N = 256
+# PSD-projection dispatch (module-level so hardware A/B benches can
+# force any path):
+#   n <= JACOBI_MAX_N            -> scan-rolled/unrolled Jacobi eigh
+#                                   (measured winner at small n; the
+#                                   scan envelope is validated to 256)
+#   n >  JACOBI_MAX_N, sign on   -> polynomial matrix-sign projection
+#                                   (psd_project_sign): ANY slice size,
+#                                   pure GEMMs on the MXU
+#   n >  JACOBI_MAX_N, sign off  -> batched jnp.linalg.eigh (exact but
+#                                   in-loop pathological on TPU,
+#                                   benches/sdp_ablate2.py + lesson 15)
+JACOBI_MAX_N = 64
+USE_SIGN_ABOVE_JACOBI = True
+
+# Matrix-sign polynomial schedules (k_quintic, k_cubic) per precision.
+# The quintic is the tuned Newton–Schulz variant (coefficients from the
+# public Muon orthogonalizer, a*x + b*x^3 + c*x^5); the cubic tail is
+# the exact NS sign iteration (monotone on (0, sqrt(3)), quadratic near
+# 1).  Scalar composition study (round 5): eigenvalues with
+# |lam|/||X||_F >= delta are signed to <= eps, with
+#   f32 (8, 8):  delta ~ 1.0e-5  (matches the f32 Jacobi's own error)
+#   f64 (16, 10): delta ~ 1.8e-10 at eps = 1e-12
+# Eigenvalues BELOW the floor contribute projection error <= |lam|
+# itself (sign in [-1, 1] either way) — bounded by delta * ||X||_F.
+SIGN_SCHEDULES = {32: (8, 8), 64: (16, 10)}
+_SIGN_QUINTIC = (3.4445, -4.7750, 2.0315)
+
+
+def psd_project_sign(herm):
+    """PSD projection of real symmetric slices via the polynomial
+    matrix-sign function — GEMMs only, no eigendecomposition.
+
+    ``P(X) = (X + X sign(X)) / 2`` with ``sign(X)`` computed by a fixed
+    odd-polynomial iteration on ``X / ||X||_F`` (quintic Newton–Schulz
+    schedule + exact-cubic tail, see :data:`SIGN_SCHEDULES`).  Unlike
+    eigendecomposition this is MXU-native and works for ANY slice size
+    — measured ~10-25x the scan-rolled Jacobi at n = 128 on a v5e and
+    immune to the in-loop XLA-eigh pathology.  Accuracy: exact sign for
+    eigenvalue magnitudes above ``delta * ||X||_F`` (delta per the
+    schedule table); smaller eigenvalues err by at most their own
+    magnitude.  The reference's per-slice exact eigh
+    (objectivefunc.py:322-327) is matched to the floor.
+    """
+    bits = jnp.finfo(herm.dtype).bits
+    k1, k2 = SIGN_SCHEDULES[64 if bits > 32 else 32]
+    a, b, c = _SIGN_QUINTIC
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda x, y: jnp.matmul(x, y, precision=hi)
+
+    s = jnp.sqrt(jnp.sum(herm * herm, axis=(-2, -1), keepdims=True))
+    y = herm / jnp.where(s > 0, s, 1.0)
+    eye = jnp.eye(herm.shape[-1], dtype=herm.dtype)
+    z = y
+    for _ in range(k1):
+        z2 = mm(z, z)
+        z4 = mm(z2, z2)
+        z = mm(z, a * eye + b * z2 + c * z4)
+    for _ in range(k2):
+        z2 = mm(z, z)
+        z = mm(z, 1.5 * eye - 0.5 * z2)
+    # |Y| = Y sign(Y); symmetrize against roundoff drift
+    absy = mm(y, z)
+    absy = 0.5 * (absy + absy.swapaxes(-1, -2))
+    return s * 0.5 * (y + absy)
 
 
 def _psd_project_herm(herm):
@@ -66,16 +125,19 @@ def _psd_project_herm(herm):
     Real n <= JACOBI_MAX_N: the loop-body-safe Jacobi
     eigendecomposition (unrolled for n <= 16, scan-rolled above — XLA's
     eigh degrades ~1000x when traced inside a vmapped solver loop body,
-    benches/sdp_ablate2.py).  Complex Hermitian n <= JACOBI_MAX_N/2:
-    the realify embedding ``H = X + iY -> R = [[X, -Y], [Y, X]]`` — a
+    benches/sdp_ablate2.py).  Larger real slices: the polynomial
+    matrix-sign projection (:func:`psd_project_sign`) — ANY size, all
+    MXU GEMMs — unless :data:`USE_SIGN_ABOVE_JACOBI` is cleared, in
+    which case batched ``jnp.linalg.eigh``.  Complex Hermitian: the
+    realify embedding ``H = X + iY -> R = [[X, -Y], [Y, X]]`` — a
     *-isomorphism, so spectral functions commute with it: project the
-    real symmetric 2n x 2n embedding with the same Jacobi path and map
-    back.  All-real arithmetic (the TPU backend has no complex support,
-    CLAUDE.md).  Anything larger: batched ``jnp.linalg.eigh``.
+    real symmetric 2n x 2n embedding with the same real dispatch and
+    map back.  All-real arithmetic (the TPU backend has no complex
+    support, CLAUDE.md).
     """
     n = herm.shape[-1]
     if jnp.iscomplexobj(herm):
-        if n <= JACOBI_MAX_N // 2:
+        if 2 * n <= JACOBI_MAX_N or USE_SIGN_ABOVE_JACOBI:
             X, Y = jnp.real(herm), jnp.imag(herm)
             top = jnp.concatenate([X, -Y], axis=-1)
             bot = jnp.concatenate([Y, X], axis=-1)
@@ -109,6 +171,8 @@ def _psd_project_herm(herm):
         return jnp.matmul(evecs * evals[..., None, :],
                           evecs.swapaxes(-1, -2),
                           precision="highest")
+    if USE_SIGN_ABOVE_JACOBI:
+        return psd_project_sign(herm)
     evals, evecs = jnp.linalg.eigh(herm)
     evals = jnp.maximum(evals, 0.0)
     return jnp.einsum("kij,kj,klj->kil", evecs, evals, evecs.conj())

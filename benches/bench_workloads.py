@@ -385,9 +385,15 @@ def bench_sdp128(dtype):
 
     ref = _ref_rate(ref_build, niter=10)
 
-    for label, ceil in (("jacobi", 256), ("xla_eigh", 16)):
-        old = prox_mod.JACOBI_MAX_N
+    # Three prox paths: sign = the round-5 polynomial matrix-sign
+    # default (pure GEMMs, any n); jacobi = scan-rolled Jacobi forced;
+    # xla_eigh = the in-loop batched eigh fallback.
+    paths = (("sign", 64, True), ("jacobi", 256, True),
+             ("xla_eigh", 16, False))
+    for label, ceil, use_sign in paths:
+        old = (prox_mod.JACOBI_MAX_N, prox_mod.USE_SIGN_ABOVE_JACOBI)
         prox_mod.JACOBI_MAX_N = ceil
+        prox_mod.USE_SIGN_ABOVE_JACOBI = use_sign
         try:
             bs = BatchedSolver(build(), dtype=dtype)
             res, dt = _time_solve(lambda: bs.solve(
@@ -401,7 +407,8 @@ def bench_sdp128(dtype):
                    "finite": finite},
                   ref_ips=ref)
         finally:
-            prox_mod.JACOBI_MAX_N = old
+            (prox_mod.JACOBI_MAX_N,
+             prox_mod.USE_SIGN_ABOVE_JACOBI) = old
 
     nit_m = 4 * niter
     bs = BatchedSolver(build(), dtype=dtype)

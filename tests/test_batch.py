@@ -499,11 +499,12 @@ def test_batched_per_instance_A_guards():
 
 
 def test_batched_psd_block_large_slice():
-    """128-class slice sizes (here k=72 > the old 64 ceiling) run through
-    the scan-rolled Jacobi prox inside the compiled loop — the round-5
-    envelope extension (reference projects any slice size via its
-    per-slice eigh loop, objectivefunc.py:322-327).  Oracle: the same
-    engine with the prox forced onto the XLA-eigh fallback."""
+    """Slice sizes past the Jacobi envelope (here k=72 > 64) run through
+    the polynomial matrix-sign prox inside the compiled loop — the
+    round-5 unbounded-n path (reference projects any slice size via its
+    per-slice eigh loop, objectivefunc.py:322-327).  Oracles: the same
+    engine forced onto (a) the scan-rolled Jacobi and (b) the XLA-eigh
+    fallback."""
     from admmsolver_tpu import SemiPositiveDefinitePenalty
     from admmsolver_tpu.ops import prox as prox_mod
 
@@ -523,18 +524,24 @@ def test_batched_psd_block_large_slice():
         return BatchedSolver(m).solve({(0, "y"): ys}, niter=40,
                                       record_residuals=False)
 
-    assert prox_mod.JACOBI_MAX_N >= 128
-    res = run()
-    old = prox_mod.JACOBI_MAX_N
-    prox_mod.JACOBI_MAX_N = 16   # force the XLA-eigh fallback
+    assert prox_mod.USE_SIGN_ABOVE_JACOBI
+    res = run()                       # default: sign-polynomial prox
+    oracles = {}
+    old = (prox_mod.JACOBI_MAX_N, prox_mod.USE_SIGN_ABOVE_JACOBI)
     try:
-        ref = run()
+        prox_mod.JACOBI_MAX_N = 256   # force scan-rolled Jacobi
+        oracles["jacobi"] = run()
+        prox_mod.JACOBI_MAX_N = 16
+        prox_mod.USE_SIGN_ABOVE_JACOBI = False   # force XLA eigh
+        oracles["xla_eigh"] = run()
     finally:
-        prox_mod.JACOBI_MAX_N = old
-    for a, b in zip(res.x, ref.x):
-        assert np.isfinite(np.asarray(a)).all()
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=0, atol=1e-9)
+        prox_mod.JACOBI_MAX_N, prox_mod.USE_SIGN_ABOVE_JACOBI = old
+    for name, ref in oracles.items():
+        for a, b in zip(res.x, ref.x):
+            assert np.isfinite(np.asarray(a)).all()
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-8,
+                                       err_msg=name)
     X = np.asarray(res.x[1]).reshape(B, k, k)
     lam = np.linalg.eigvalsh(0.5 * (X + X.swapaxes(-1, -2)))
     assert lam.min() > -1e-8

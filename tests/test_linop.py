@@ -855,3 +855,82 @@ class TestPrecisionFollowsState:
                            (n, n))
         out2 = add(off, DiagonalMatrix(dv))
         assert out2.bands.dtype == jnp.float64
+
+
+class TestSignPolynomialProjection:
+    """psd_project_sign: eigendecomposition-free PSD projection (pure
+    GEMMs; the round-5 unbounded-slice-size path)."""
+
+    def test_matches_lapack_with_tiny_eigenvalues(self):
+        from admmsolver_tpu.ops.prox import psd_project_sign
+
+        for n in (70, 128, 200):
+            rng = np.random.RandomState(n)
+            K = 4
+            X = rng.randn(K, n, n)
+            X = (X + X.transpose(0, 2, 1)) / 2
+            # plant near-zero eigenvalues (the sign iteration's hard
+            # region; their projection error is bounded by |lam|)
+            w, v = np.linalg.eigh(X[0])
+            w[:5] = np.array([-1e-14, -1e-9, 1e-12, 1e-7, -1e-5]) \
+                * np.abs(w).max()
+            X[0] = (v * w) @ v.T
+            got = np.asarray(psd_project_sign(jnp.asarray(X)))
+            want = np.empty_like(X)
+            for i, sl in enumerate(X):
+                wv, vv = np.linalg.eigh(sl)
+                want[i] = (vv * np.maximum(wv, 0.0)) @ vv.T
+            scale = float(np.linalg.norm(X, axis=(1, 2)).max())
+            np.testing.assert_allclose(got, want, rtol=0,
+                                       atol=1e-11 * scale)
+            # f32: floor ~1e-5 relative to the Frobenius norm
+            got32 = np.asarray(psd_project_sign(
+                jnp.asarray(X, jnp.float32)), np.float64)
+            np.testing.assert_allclose(got32, want, rtol=0,
+                                       atol=5e-5 * scale)
+
+    def test_zero_and_definite_slices(self):
+        from admmsolver_tpu.ops.prox import psd_project_sign
+
+        rng = np.random.RandomState(1)
+        n = 80
+        Q = rng.randn(n, n)
+        pos = Q @ Q.T / n                 # already PSD -> unchanged
+        X = np.stack([np.zeros((n, n)), pos, -pos])
+        got = np.asarray(psd_project_sign(jnp.asarray(X)))
+        np.testing.assert_allclose(got[0], 0.0, atol=0)
+        np.testing.assert_allclose(got[1], pos, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(got[2], 0.0, rtol=0, atol=1e-12)
+
+    def test_psd_project_dispatches_to_sign_above_jacobi(self):
+        """The public psd_project routes real n > JACOBI_MAX_N (and
+        complex slices whose realified size exceeds it) through the
+        sign path, matching the per-slice LAPACK construction."""
+        from admmsolver_tpu.ops import prox as prox_mod
+        from admmsolver_tpu.ops.prox import psd_project
+
+        assert prox_mod.JACOBI_MAX_N == 64
+        assert prox_mod.USE_SIGN_ABOVE_JACOBI
+        rng = np.random.RandomState(2)
+        n = 100
+        shape, axis = (n, n, 2), 2
+        x = rng.randn(int(np.prod(shape)))
+        got = np.asarray(psd_project(jnp.asarray(x), shape, axis))
+        x3 = np.moveaxis(x.reshape(shape), axis, 0)
+        out = np.empty_like(x3)
+        for i, sl in enumerate(x3):
+            w, v = np.linalg.eigh(sl, UPLO="L")
+            out[i] = (v * np.maximum(w, 0.0)) @ v.T
+        want = np.moveaxis(out, 0, axis).ravel()
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+        # complex n=80 -> realified 160 > 64 -> sign path
+        xc = (rng.randn(80 * 80 * 2)
+              + 1j * rng.randn(80 * 80 * 2))
+        gotc = np.asarray(psd_project(jnp.asarray(xc), (80, 80, 2), 2))
+        x3c = np.moveaxis(xc.reshape(80, 80, 2), 2, 0)
+        outc = np.empty_like(x3c)
+        for i, sl in enumerate(x3c):
+            w, v = np.linalg.eigh(sl, UPLO="L")
+            outc[i] = (v * np.maximum(w, 0.0)) @ v.conj().T
+        wantc = np.moveaxis(outc, 0, 2).ravel()
+        np.testing.assert_allclose(gotc, wantc, rtol=0, atol=1e-9)
