@@ -202,9 +202,9 @@ def jacobi_eigh(a, sweeps: Optional[int] = None, sort: bool = True):
     ``evals`` ascending per lane when ``sort=True`` (matching
     ``jnp.linalg.eigh``) and ``a ≈ evecs @ diag(evals) @ evecs.T``.
     Dispatch: n ≤ 16 unrolls the schedule at trace time (this
-    function's body); 17 ≤ n ≤ 64 uses the scan-rolled schedule
+    function's body); 17 ≤ n ≤ 256 uses the scan-rolled schedule
     (:func:`_jacobi_eigh_scan` — same per-round math, O(1) trace);
-    n > 64 raises (use ``jnp.linalg.eigh`` standalone).  Replaces the
+    n > 256 raises (use ``jnp.linalg.eigh`` standalone).  Replaces the
     reference's per-slice ``np.linalg.eigh`` loop
     (``objectivefunc.py:320-327``) on the PSD prox path.
     """
