@@ -354,8 +354,7 @@ def bench_sdp128(dtype):
     eigh, plus the mixed recipe."""
     import jax.numpy as jnp
 
-    from admmsolver_tpu import (DiagonalMatrix, LeastSquares, Model,
-                                SemiPositiveDefinitePenalty, identity)
+    from admmsolver_tpu.models.applications import covariance_denoise_model
     from admmsolver_tpu.ops import prox as prox_mod
     from admmsolver_tpu.parallel import BatchedSolver
 
@@ -371,10 +370,7 @@ def bench_sdp128(dtype):
     ov = {(0, "y"): jnp.asarray(wys, dtype=dtype)}
 
     def build():
-        return Model(
-            [LeastSquares(1.0, DiagonalMatrix(w), wys[0]),
-             SemiPositiveDefinitePenalty(shape, 2)],
-            [(1, 0, identity(N), identity(N))])
+        return covariance_denoise_model(ys[0].reshape(k, k), weights=w)
 
     def ref_build(ref):
         p = ref.opt.Model(
