@@ -883,7 +883,7 @@ class NuclearNormPenalty(ObjectiveFunctionBase):
     def __init__(self, alpha: float, shape: Sequence,
                  svd_method: str = "auto") -> None:
         assert alpha > 0
-        assert svd_method in ("auto", "xla", "gram"), svd_method
+        assert svd_method in ("auto", "xla", "gram", "sign"), svd_method
         m, n = (int(s) for s in shape)
         super().__init__(m * n)
         self._alpha = alpha
@@ -912,7 +912,9 @@ class NuclearNormPenalty(ObjectiveFunctionBase):
             method = ("gram" if (jax.default_backend() == "tpu"
                                  and not jnp.iscomplexobj(X))
                       else "xla")
-        if method == "gram":
+        if method in ("gram", "sign"):
+            # "sign" has no SVD (the prox uses the polar route); norm
+            # evaluation falls back to the Gram singular values.
             from ..ops.linop import svd_via_gram
 
             return svd_via_gram(X)
@@ -945,8 +947,23 @@ class NuclearNormPenalty(ObjectiveFunctionBase):
         # per-lane scalar penalty (uniform by contract)
         mu0 = jnp.reshape(jnp.broadcast_to(mu_diag, v.shape),
                           v.shape)[..., 0]
+        tau = 0.5 * self._alpha / mu0
+        method = self._svd_method
+        if method == "auto" and not jnp.iscomplexobj(X) \
+                and jax.default_backend() == "tpu" \
+                and min(self._mn) > 64:
+            # Above the Gram-Jacobi envelope the SVD-free polar route
+            # wins: the sequential Jacobi rounds at n > 64 dominate the
+            # iteration (BENCH_NOTES lesson 18's nuclear analogue), and
+            # the soft-threshold annihilates exactly the polar
+            # iteration's inaccurate small-singular-value subspace.
+            method = "sign"
+        if method == "sign":
+            from ..ops.prox import svt_sign
+
+            return jnp.reshape(svt_sign(X, tau), v.shape)
         U, s, Vh = self._svd(X)
-        s2 = jnp.maximum(s - (0.5 * self._alpha / mu0)[..., None], 0.0)
+        s2 = jnp.maximum(s - tau[..., None], 0.0)
         Xp = jnp.matmul(U * s2[..., None, :], Vh)
         return jnp.reshape(Xp, v.shape)
 

@@ -119,6 +119,53 @@ def psd_project_sign(herm):
     return s * 0.5 * (y + absy)
 
 
+def svt_sign(x, tau):
+    """Singular-value soft-threshold via polynomial polar decomposition
+    — GEMMs only, no SVD/eigh, any matrix size.
+
+    ``SVT(X, tau) = U (S - tau)_+ V^T`` for ``X = U S V^T``.  Compute
+    the thin polar factor ``U_p = U V^T`` by the same odd-polynomial
+    (quintic Newton–Schulz + cubic tail) iteration applied to the
+    rectangular ``X / ||X||_F`` — the classic TPU orthogonalizer — then
+    ``H = U_p^T X = V S V^T`` and ``SVT = U_p @ psd_project_sign(H -
+    tau I)``.  Accuracy: singular directions with ``s >= delta *
+    ||X||_F`` (delta per :data:`SIGN_SCHEDULES`) are exact to the
+    polynomial tail; SMALLER ones are precisely the region the
+    soft-threshold zeroes whenever ``tau`` is above the floor — the
+    iteration's inaccurate subspace is annihilated by construction
+    (and for ``tau`` below the floor the error is bounded by the floor,
+    like :func:`psd_project_sign`).  ``tau``: scalar or broadcastable
+    to the batch.  Batched over leading dims.
+    """
+    if jnp.iscomplexobj(x):
+        raise TypeError("svt_sign supports real input only")
+    m, n = x.shape[-2], x.shape[-1]
+    if m < n:
+        return svt_sign(x.swapaxes(-1, -2), tau).swapaxes(-1, -2)
+    bits = jnp.finfo(x.dtype).bits
+    k1, k2 = SIGN_SCHEDULES[64 if bits > 32 else 32]
+    a, b, c = _SIGN_QUINTIC
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda p, q: jnp.matmul(p, q, precision=hi)
+
+    s = jnp.sqrt(jnp.sum(x * x, axis=(-2, -1), keepdims=True))
+    z = x / jnp.where(s > 0, s, 1.0)
+    eye = jnp.eye(n, dtype=x.dtype)
+    for _ in range(k1):
+        g = mm(z.swapaxes(-1, -2), z)
+        z = mm(z, a * eye + b * g + c * mm(g, g))
+    for _ in range(k2):
+        g = mm(z.swapaxes(-1, -2), z)
+        z = mm(z, 1.5 * eye - 0.5 * g)
+    # z ~ U_p = U V^T (thin polar factor); H = U_p^T X = V S V^T
+    h = mm(z.swapaxes(-1, -2), x)
+    h = 0.5 * (h + h.swapaxes(-1, -2))
+    tau_arr = jnp.asarray(tau, x.dtype)
+    shifted = h - tau_arr[..., None, None] * eye if tau_arr.ndim \
+        else h - tau_arr * eye
+    return mm(z, psd_project_sign(shifted))
+
+
 def _psd_project_herm(herm):
     """PSD projection of exactly-Hermitian slices ``(K, n, n)``.
 

@@ -5,7 +5,7 @@ Prints one JSON line per config: batched instance-iterations/s, plus a
 workload-specific correctness figure so a throughput number can never
 hide a broken solve.  ``python benches/bench_workloads.py [config ...]``
 with configs from {bp, lasso, spm, spmf, sdp, sdp32, sdp128, rpca,
-glasso, huber, lpath}; default runs the five BASELINE configs (spmf =
+rpca96, glasso, huber, lpath}; default runs the five BASELINE configs (spmf =
 just the fused-mixed SpM row; sdp32/rpca/glasso/huber are the round-4
 extended rows, sdp128 the round-5 large-slice row — run them by name).
 
@@ -466,6 +466,40 @@ def bench_rpca(dtype):
            "median_effective_rank": rankm, "ref": "inexpressible"})
 
 
+def bench_rpca96(dtype):
+    """Robust PCA at 96x96 — above the Gram-Jacobi envelope (64): the
+    round-5 SVD-free polar/sign nuclear prox (auto default on TPU) vs
+    the Gram-eigh route forced.  No vs_baseline: the reference cannot
+    express a nuclear-norm block."""
+    import jax.numpy as jnp
+
+    from admmsolver_tpu.models.applications import rpca_model
+    from admmsolver_tpu.parallel import BatchedSolver
+
+    m, n, B, niter = 96, 96, 128, 200
+    rng = np.random.RandomState(17)
+    L0 = rng.randn(B, m, 4) @ rng.randn(4, n)
+    Ys = L0.copy()
+    mask = rng.rand(B, m, n) < 0.05
+    Ys[mask] += 6.0 * rng.randn(int(mask.sum()))
+    ov = {(1, "offset"): jnp.asarray(Ys.reshape(B, -1), dtype=dtype)}
+    for method in ("sign", "gram"):
+        bs = BatchedSolver(rpca_model(Ys[0], svd_method=method),
+                           dtype=dtype)
+        res, dt = _time_solve(lambda: bs.solve(
+            ov, niter=niter, rtol=0.0, record_residuals=False,
+            recipe="plain"), repeats=1)
+        L = np.asarray(res.x[0], np.float64).reshape(B, m, n)
+        rel = np.abs(L - L0).max() / np.abs(L0).max()
+        sv = np.linalg.svd(L, compute_uv=False)
+        rank = int(np.median((sv > 1e-3 * sv[:, :1]).sum(axis=1)))
+        _emit(f"rpca96_{method}", B, niter, dt,
+              {"max_rel_err_L": round(float(rel), 4),
+               "median_effective_rank": rank,
+               "finite": bool(np.isfinite(L).all()),
+               "ref": "inexpressible"})
+
+
 def bench_group_lasso(dtype):
     """Group lasso (round-3 model family, first hardware row): block-
     sparse recovery, group soft-threshold prox.  No vs_baseline: the
@@ -568,7 +602,8 @@ def main():
              "spmf": lambda d: bench_spm(d, rows=("fused",)),
              "sdp": bench_sdp, "sdp32": bench_sdp32,
              "sdp128": bench_sdp128,
-             "rpca": bench_rpca, "glasso": bench_group_lasso,
+             "rpca": bench_rpca, "rpca96": bench_rpca96,
+             "glasso": bench_group_lasso,
              "huber": bench_huber, "lpath": bench_lpath}
     for n in names:
         table[n](dtype)
