@@ -934,3 +934,32 @@ class TestSignPolynomialProjection:
             outc[i] = (v * np.maximum(w, 0.0)) @ v.conj().T
         wantc = np.moveaxis(outc, 0, 2).ravel()
         np.testing.assert_allclose(gotc, wantc, rtol=0, atol=1e-9)
+
+
+def test_svt_sign_edge_cases():
+    """SVD-free soft-threshold: zero input, tau=0, tau beyond the
+    spectrum, batched per-lane tau."""
+    from admmsolver_tpu.ops.prox import svt_sign
+
+    rng = np.random.RandomState(3)
+    m, n = 96, 80
+    X = rng.randn(m, n)
+    smax = np.linalg.svd(X, compute_uv=False)[0]
+    # zero matrix -> zero
+    z = np.asarray(svt_sign(jnp.zeros((2, m, n)), 0.3))
+    assert np.all(z == 0.0)
+    # tau = 0 -> identity (to the sign floor)
+    np.testing.assert_allclose(np.asarray(svt_sign(jnp.asarray(X), 0.0)),
+                               X, rtol=0, atol=1e-10 * smax)
+    # tau > smax -> zero
+    big = np.asarray(svt_sign(jnp.asarray(X), 2.0 * smax))
+    np.testing.assert_allclose(big, 0.0, rtol=0, atol=1e-10 * smax)
+    # batched per-lane tau
+    Xs = np.stack([X, X])
+    taus = np.array([0.1 * smax, 0.5 * smax])
+    got = np.asarray(svt_sign(jnp.asarray(Xs), jnp.asarray(taus)))
+    U, S, Vh = np.linalg.svd(X, full_matrices=False)
+    for i, t in enumerate(taus):
+        want = (U * np.maximum(S - t, 0.0)) @ Vh
+        np.testing.assert_allclose(got[i], want, rtol=0,
+                                   atol=1e-11 * smax)
