@@ -951,7 +951,8 @@ class NuclearNormPenalty(ObjectiveFunctionBase):
         method = self._svd_method
         if method == "auto" and not jnp.iscomplexobj(X) \
                 and jax.default_backend() == "tpu" \
-                and min(self._mn) > 64:
+                and min(self._mn) > (64 if jnp.finfo(X.dtype).bits > 32
+                                     else 32):
             # Above the Gram-Jacobi envelope the SVD-free polar route
             # wins: the sequential Jacobi rounds at n > 64 dominate the
             # iteration (BENCH_NOTES lesson 18's nuclear analogue), and

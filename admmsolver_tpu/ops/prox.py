@@ -65,7 +65,20 @@ def psd_project(x, shape, axis):
 #                                   in-loop pathological on TPU,
 #                                   benches/sdp_ablate2.py + lesson 15)
 JACOBI_MAX_N = 64
+#: f32 crossover sits lower (round-5 probe, K=256 slices, ms/iter:
+#: n=32 jacobi 0.27 vs sign 24.9; n=48 jacobi 47.0 vs sign 15.5; n=64
+#: 55.9 vs 45.4) — the sign path's GEMMs win f32 from n ~ 48 while the
+#: f64-emulated batched tiny GEMMs (lesson 6) keep Jacobi ahead in f64
+#: through 64.  ``None`` falls back to JACOBI_MAX_N (benches forcing a
+#: path set both).
+JACOBI_MAX_N_F32: "int | None" = 32
 USE_SIGN_ABOVE_JACOBI = True
+
+
+def _jacobi_boundary(dtype) -> int:
+    if JACOBI_MAX_N_F32 is not None and jnp.finfo(dtype).bits <= 32:
+        return JACOBI_MAX_N_F32
+    return JACOBI_MAX_N
 
 # Matrix-sign polynomial schedules (k_quintic, k_cubic) per precision.
 # The quintic is the tuned Newton–Schulz variant (coefficients from the
@@ -184,7 +197,8 @@ def _psd_project_herm(herm):
     """
     n = herm.shape[-1]
     if jnp.iscomplexobj(herm):
-        if 2 * n <= JACOBI_MAX_N or USE_SIGN_ABOVE_JACOBI:
+        if 2 * n <= _jacobi_boundary(jnp.real(herm).dtype) \
+                or USE_SIGN_ABOVE_JACOBI:
             X, Y = jnp.real(herm), jnp.imag(herm)
             top = jnp.concatenate([X, -Y], axis=-1)
             bot = jnp.concatenate([Y, X], axis=-1)
@@ -196,7 +210,7 @@ def _psd_project_herm(herm):
         evals, evecs = jnp.linalg.eigh(herm)
         evals = jnp.maximum(evals, 0.0)
         return jnp.einsum("kij,kj,klj->kil", evecs, evals, evecs.conj())
-    if n <= JACOBI_MAX_N:
+    if n <= _jacobi_boundary(herm.dtype):
         from .linop import jacobi_eigh
 
         evals, evecs = jacobi_eigh(herm, sort=False)

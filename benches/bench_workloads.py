@@ -306,8 +306,9 @@ def bench_sdp32(dtype):
     ref = _ref_rate(lambda ref: _ref_sdp(ref, A, y, shape, 2), niter=10)
 
     for label, ceil in (("jacobi", 64), ("xla_eigh", 16)):
-        old = prox_mod.JACOBI_MAX_N
+        old = (prox_mod.JACOBI_MAX_N, prox_mod.JACOBI_MAX_N_F32)
         prox_mod.JACOBI_MAX_N = ceil
+        prox_mod.JACOBI_MAX_N_F32 = None
         try:
             model = sdp_model(A, y, shape, axis=2)
             bs = BatchedSolver(model, dtype=dtype)
@@ -321,7 +322,7 @@ def bench_sdp32(dtype):
                   {"min_eigenvalue_psd_block": round(float(lam_min), 9)},
                   ref_ips=ref)
         finally:
-            prox_mod.JACOBI_MAX_N = old
+            prox_mod.JACOBI_MAX_N, prox_mod.JACOBI_MAX_N_F32 = old
 
     # The recommended SDP recipe (BENCH_NOTES lesson 12) at k=32: 3/4 of
     # the budget in f32 — where the Jacobi-scan prox is 4.7x faster than
@@ -387,8 +388,10 @@ def bench_sdp128(dtype):
     paths = (("sign", 64, True), ("jacobi", 256, True),
              ("xla_eigh", 16, False))
     for label, ceil, use_sign in paths:
-        old = (prox_mod.JACOBI_MAX_N, prox_mod.USE_SIGN_ABOVE_JACOBI)
+        old = (prox_mod.JACOBI_MAX_N, prox_mod.JACOBI_MAX_N_F32,
+               prox_mod.USE_SIGN_ABOVE_JACOBI)
         prox_mod.JACOBI_MAX_N = ceil
+        prox_mod.JACOBI_MAX_N_F32 = None
         prox_mod.USE_SIGN_ABOVE_JACOBI = use_sign
         try:
             bs = BatchedSolver(build(), dtype=dtype)
@@ -403,7 +406,7 @@ def bench_sdp128(dtype):
                    "finite": finite},
                   ref_ips=ref)
         finally:
-            (prox_mod.JACOBI_MAX_N,
+            (prox_mod.JACOBI_MAX_N, prox_mod.JACOBI_MAX_N_F32,
              prox_mod.USE_SIGN_ABOVE_JACOBI) = old
 
     nit_m = 4 * niter
