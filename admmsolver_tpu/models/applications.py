@@ -152,7 +152,8 @@ def covariance_denoise_model(Y, weights=None) -> Model:
     has no slice-size ceiling here (Jacobi eigh to 64, the polynomial
     matrix-sign path above; 3.1x the reference's per-slice-LAPACK rate
     at k = 128 on a v5e, 12.2x with the mixed recipe).  Batch per-lane
-    ``Y`` via the ``(0, "y")`` override (pass ``w * Y.ravel()``).
+    ``Y`` via the ``(0, "y")`` override (pass ``sqrt(w) * Y.ravel()``,
+    matching the operator's ``sqrt(w)`` scaling).
     """
     Y = np.asarray(Y)
     k = Y.shape[-1]
@@ -160,9 +161,13 @@ def covariance_denoise_model(Y, weights=None) -> Model:
     N = k * k
     w = (np.ones(N) if weights is None
          else np.broadcast_to(np.asarray(weights, np.float64), (N,)))
+    assert np.all(w > 0), "weights must be positive"
+    # ||W^(1/2)(X - Y)||^2 = ||sqrt(w)*X - sqrt(w)*Y||^2: the operator
+    # carries sqrt(w) so each entry is weighted w_i, not w_i^2.
+    rw = np.sqrt(w)
     return Model(
-        [LeastSquares(1.0, DiagonalMatrix(w),
-                      w * np.reshape(Y, (-1,))),
+        [LeastSquares(1.0, DiagonalMatrix(rw),
+                      rw * np.reshape(Y, (-1,))),
          SemiPositiveDefinitePenalty((k, k, 1), 2)],
         [(1, 0, identity(N), identity(N))])
 

@@ -948,11 +948,12 @@ class NuclearNormPenalty(ObjectiveFunctionBase):
         mu0 = jnp.reshape(jnp.broadcast_to(mu_diag, v.shape),
                           v.shape)[..., 0]
         tau = 0.5 * self._alpha / mu0
+        from ..ops.prox import _jacobi_boundary
+
         method = self._svd_method
         if method == "auto" and not jnp.iscomplexobj(X) \
                 and jax.default_backend() == "tpu" \
-                and min(self._mn) > (64 if jnp.finfo(X.dtype).bits > 32
-                                     else 32):
+                and min(self._mn) > _jacobi_boundary(X.dtype):
             # Above the Gram-Jacobi envelope the SVD-free polar route
             # wins: the sequential Jacobi rounds at n > 64 dominate the
             # iteration (BENCH_NOTES lesson 18's nuclear analogue), and

@@ -72,6 +72,11 @@ JACOBI_MAX_N = 64
 #: through 64.  ``None`` falls back to JACOBI_MAX_N (benches forcing a
 #: path set both).
 JACOBI_MAX_N_F32: "int | None" = 32
+#: Above the Jacobi boundary: True (default) = polynomial matrix-sign
+#: projection ON TPU, exact batched eigh elsewhere (the in-loop eigh
+#: pathology the sign path fixes is TPU-only; CPU users keep LAPACK
+#: exactness); "always" = sign on every backend (tests/benches force
+#: the TPU math on CPU); False = always the eigh fallback.
 USE_SIGN_ABOVE_JACOBI = True
 
 
@@ -79,6 +84,12 @@ def _jacobi_boundary(dtype) -> int:
     if JACOBI_MAX_N_F32 is not None and jnp.finfo(dtype).bits <= 32:
         return JACOBI_MAX_N_F32
     return JACOBI_MAX_N
+
+
+def _sign_active() -> bool:
+    return USE_SIGN_ABOVE_JACOBI == "always" or (
+        bool(USE_SIGN_ABOVE_JACOBI)
+        and jax.default_backend() == "tpu")
 
 # Matrix-sign polynomial schedules (k_quintic, k_cubic) per precision.
 # The quintic is the tuned Newton–Schulz variant (coefficients from the
@@ -198,7 +209,7 @@ def _psd_project_herm(herm):
     n = herm.shape[-1]
     if jnp.iscomplexobj(herm):
         if 2 * n <= _jacobi_boundary(jnp.real(herm).dtype) \
-                or USE_SIGN_ABOVE_JACOBI:
+                or _sign_active():
             X, Y = jnp.real(herm), jnp.imag(herm)
             top = jnp.concatenate([X, -Y], axis=-1)
             bot = jnp.concatenate([Y, X], axis=-1)
@@ -232,7 +243,7 @@ def _psd_project_herm(herm):
         return jnp.matmul(evecs * evals[..., None, :],
                           evecs.swapaxes(-1, -2),
                           precision="highest")
-    if USE_SIGN_ABOVE_JACOBI:
+    if _sign_active():
         return psd_project_sign(herm)
     evals, evecs = jnp.linalg.eigh(herm)
     evals = jnp.maximum(evals, 0.0)

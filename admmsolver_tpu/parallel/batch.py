@@ -521,12 +521,18 @@ class BatchedSolver:
             raise ValueError("niter must be positive for batched solves")
         if recipe not in ("auto", "plain", "mixed"):
             raise ValueError(f"recipe must be auto|plain|mixed, {recipe!r}")
-        if recipe == "mixed" or (
-                recipe == "auto"
-                and self._auto_mixed_applies(niter, dtype)):
+        # auto never fires on warm starts: the f32 phase would truncate
+        # a carried full-precision state (the same reason the segment
+        # drivers — resumable, scheduler — pin plain); explicit
+        # recipe="mixed" remains the user's call.  niter=1 cannot split
+        # into two positive phases — run plain.
+        want_mixed = (recipe == "mixed" and niter >= 2) or (
+            recipe == "auto" and x0 is None and h0 is None
+            and self._auto_mixed_applies(niter, dtype))
+        if want_mixed:
             nl = 3 * niter // 4
             return self.solve_mixed(
-                overrides, niter_low=nl, niter=niter - nl,
+                overrides, niter_low=max(nl, 1), niter=niter - max(nl, 1),
                 # fixed-iteration runs (rtol=atol=0) burn the full f32
                 # budget; convergence runs let phase 1 exit at plateau
                 low_rtol=(0.0 if (rtol == 0.0 and atol == 0.0) else 1e-6),
@@ -535,7 +541,8 @@ class BatchedSolver:
                 rtol=rtol, atol=atol, fact_incr=fact_incr,
                 th_change=th_change, max_mu=max_mu,
                 record_residuals=record_residuals,
-                chunked_checks=chunked_checks, done0=done0, relax=relax)
+                chunked_checks=chunked_checks, done0=done0, relax=relax,
+                dtype=dtype)
         if dtype is None:
             dtype = self.dtype
         else:
@@ -983,6 +990,7 @@ class BatchedSolver:
                     low_dtype="float32",
                     low_rtol: float = 1e-6,
                     fused: bool = False,
+                    dtype=None,
                     **kw) -> BatchResult:
         """Two-phase mixed-precision solve (SURVEY.md §7 hard part #1).
 
@@ -1006,6 +1014,11 @@ class BatchedSolver:
         """
         kw.pop("recipe", None)  # the phases ARE the recipe
         if fused and self.sharding is None:
+            if dtype is not None and jnp.dtype(dtype) != self.dtype:
+                raise ValueError(
+                    "the fused mixed driver always polishes at the "
+                    "solver dtype; construct the solver with the "
+                    "desired full precision or use fused=False")
             return self._solve_mixed_fused(
                 overrides, niter_low=niter_low, niter=niter,
                 low_dtype=low_dtype, low_rtol=low_rtol, **kw)
@@ -1013,9 +1026,10 @@ class BatchedSolver:
                         rtol=low_rtol, recipe="plain",
                         **{k: v for k, v in kw.items()
                            if k not in ("rtol", "atol")})
-        # phase 2 continues phase 1's state; user x0/h0/mu0 seed phase 1
+        # phase 2 continues phase 1's state at the FULL precision — the
+        # caller's explicit dtype when given, else the solver dtype
         p2 = self.solve(overrides, x0=p1.x, h0=p1.h, mu0=p1.mu,
-                        niter=niter, recipe="plain",
+                        niter=niter, recipe="plain", dtype=dtype,
                         **{k: v for k, v in kw.items()
                            if k not in ("mu0", "x0", "h0")})
         return BatchResult(

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ADMMConfig
-from .batch import BatchedSolver, _parse_record_residuals
+from .batch import BatchedSolver, _cast_like
 
 __all__ = ["ScenarioScheduler", "ScenarioResult"]
 
@@ -205,8 +205,10 @@ class ScenarioScheduler:
         S = len(scen)
         B = self.B
         dtype = solver.dtype
-        ov_all = {k: jnp.asarray(np.stack([np.asarray(ov[k])
-                                           for ov in scen]))
+        # same state-dtype discipline as solve() (batch.py _cast_like):
+        # f64 scenario values must not promote an f32 loop
+        ov_all = {k: _cast_like(dtype, np.stack(
+                      [np.asarray(ov[k]) for ov in scen]))
                   for k in keys}
 
         cfg = ADMMConfig(
@@ -217,13 +219,17 @@ class ScenarioScheduler:
             max_mu=float(self.solve_kw.get("max_mu", 1e3)),
             fact_incr=float(self.solve_kw.get("fact_incr", 2.0)),
             th_change=float(self.solve_kw.get("th_change", 10.0)))
-        run = solver._build(cfg, keys, False, False, 1)
         niter_max = int(self.niter_max)
         mu0 = float(self.mu0)
 
-        ckey = ("stream", cfg, keys, S, B, niter_max)
+        # mu0 is baked into the drain closure (initial + refill state),
+        # so it MUST key the cache: two schedulers sharing one solver
+        # would otherwise silently reuse each other's penalty init.
+        ckey = ("stream", cfg, keys, S, B, niter_max, mu0)
         jitted = solver._compiled_cache.get(ckey)
         if jitted is None:
+            run = solver._build(cfg, keys, False, False, 1)
+
             def drain(ov_vals_all, tols):
                 ov_of = lambda sidc: tuple(
                     jnp.take(v, sidc, axis=0) for v in ov_vals_all)

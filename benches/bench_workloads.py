@@ -364,10 +364,11 @@ def bench_sdp128(dtype):
     N = k * k * rest
     rng = np.random.RandomState(15)
     w = 1.0 + rng.rand(N)
+    rw = np.sqrt(w)
     Q = rng.randn(k, k)
     xt = (Q @ Q.T / k).reshape(-1)
     ys = xt[None, :] + 0.1 * rng.randn(B, N)
-    wys = ys * w[None, :]
+    wys = ys * rw[None, :]   # sqrt(w)-scaled data, matching the model
     ov = {(0, "y"): jnp.asarray(wys, dtype=dtype)}
 
     def build():
@@ -375,7 +376,7 @@ def bench_sdp128(dtype):
 
     def ref_build(ref):
         p = ref.opt.Model(
-            [ref.obj.LeastSquares(1.0, ref.mat.DiagonalMatrix(w), wys[0]),
+            [ref.obj.LeastSquares(1.0, ref.mat.DiagonalMatrix(rw), wys[0]),
              ref.obj.SemiPositiveDefinitePenalty(shape, 2)],
             [(1, 0, ref.mat.identity(N), ref.mat.identity(N))])
         return ref.opt.SimpleOptimizer(p)

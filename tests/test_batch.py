@@ -524,11 +524,13 @@ def test_batched_psd_block_large_slice():
         return BatchedSolver(m).solve({(0, "y"): ys}, niter=40,
                                       record_residuals=False)
 
-    assert prox_mod.USE_SIGN_ABOVE_JACOBI
-    res = run()                       # default: sign-polynomial prox
     oracles = {}
     old = (prox_mod.JACOBI_MAX_N, prox_mod.USE_SIGN_ABOVE_JACOBI)
     try:
+        # "always" forces the TPU-default sign path on this CPU run
+        prox_mod.USE_SIGN_ABOVE_JACOBI = "always"
+        res = run()
+        prox_mod.USE_SIGN_ABOVE_JACOBI = old[1]
         prox_mod.JACOBI_MAX_N = 256   # force scan-rolled Jacobi
         oracles["jacobi"] = run()
         prox_mod.JACOBI_MAX_N = 16
@@ -690,3 +692,46 @@ class TestSolveScan:
                             group_size=2, niter=30)  # G=3, pad 1
         assert res.x[0].shape == (B, N)
         assert np.isfinite(np.asarray(res.x[0])).all()
+
+
+def test_recipe_mixed_respects_dtype_and_warm_start_guard(monkeypatch):
+    """Round-5 review regressions: (a) an explicit dtype= reaches the
+    mixed recipe's full-precision phase; (b) recipe='auto' never fires
+    on warm-started solves; (c) recipe='mixed' with niter=1 runs plain
+    instead of crashing."""
+    import jax
+    import jax.numpy as jnp
+
+    from admmsolver_tpu import SemiPositiveDefinitePenalty
+
+    rng = np.random.RandomState(18)
+    n, K, B = 4, 2, 2
+    N = n * n * K
+    A = rng.randn(2 * N, N)
+    ys = rng.randn(B, 2 * N)
+    m = Model([LeastSquares(1.0, A, ys[0]),
+               SemiPositiveDefinitePenalty((n, n, K), axis=2)],
+              [(1, 0, identity(N), identity(N))])
+    bs32 = BatchedSolver(m, dtype=jnp.float32)
+    ov = {(0, "y"): ys}
+    # (a) dtype=float64 through the mixed route -> f64 output
+    res = bs32.solve(ov, niter=40, dtype=jnp.float64, recipe="mixed",
+                     record_residuals=False)
+    assert res.x[0].dtype == jnp.float64
+    # (c) niter=1 mixed -> plain, no crash
+    r1 = bs32.solve(ov, niter=1, recipe="mixed",
+                    record_residuals=False)
+    assert int(np.asarray(r1.iterations).max()) == 1
+
+    # (b) auto on a fake TPU must NOT route warm starts through f32
+    bs = BatchedSolver(m)  # f64
+    cold = bs.solve(ov, niter=300, rtol=0.0, record_residuals=False,
+                    recipe="plain")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    warm_auto = bs.solve(ov, x0=cold.x, h0=cold.h, mu0=cold.mu,
+                         niter=300, rtol=0.0, record_residuals=False)
+    warm_plain = bs.solve(ov, x0=cold.x, h0=cold.h, mu0=cold.mu,
+                          niter=300, rtol=0.0, record_residuals=False,
+                          recipe="plain")
+    np.testing.assert_array_equal(np.asarray(warm_auto.x[0]),
+                                  np.asarray(warm_plain.x[0]))

@@ -906,11 +906,16 @@ class TestSignPolynomialProjection:
         """The public psd_project routes real n > JACOBI_MAX_N (and
         complex slices whose realified size exceeds it) through the
         sign path, matching the per-slice LAPACK construction."""
+        import pytest as _pytest
+
         from admmsolver_tpu.ops import prox as prox_mod
         from admmsolver_tpu.ops.prox import psd_project
 
         assert prox_mod.JACOBI_MAX_N == 64
-        assert prox_mod.USE_SIGN_ABOVE_JACOBI
+        assert prox_mod.USE_SIGN_ABOVE_JACOBI is True
+        mp = _pytest.MonkeyPatch()
+        # force the TPU-default sign dispatch on this CPU run
+        mp.setattr(prox_mod, "USE_SIGN_ABOVE_JACOBI", "always")
         rng = np.random.RandomState(2)
         n = 100
         shape, axis = (n, n, 2), 2
@@ -934,6 +939,10 @@ class TestSignPolynomialProjection:
             outc[i] = (v * np.maximum(w, 0.0)) @ v.conj().T
         wantc = np.moveaxis(outc, 0, 2).ravel()
         np.testing.assert_allclose(gotc, wantc, rtol=0, atol=1e-9)
+        mp.undo()
+        # default dispatch on a NON-TPU backend: exact eigh (no floor)
+        got_cpu = np.asarray(psd_project(jnp.asarray(x), shape, axis))
+        np.testing.assert_allclose(got_cpu, want, rtol=0, atol=1e-11)
 
 
 def test_svt_sign_edge_cases():
