@@ -189,7 +189,11 @@ class ScenarioScheduler:
                  if k not in ("interval_update_mu", "update_h",
                               "fact_incr", "th_change", "max_mu",
                               "recipe")}
-        if extra or self.solve_kw.get("recipe", "plain") != "plain":
+        if extra or self.solve_kw.get("recipe", "plain") != "plain" \
+                or self.solver.sharding is not None:
+            # sharded solvers take the host loop: solve() owns the
+            # device placement there; the compiled drain builds its
+            # state unsharded and would silently run single-device
             return self.run(scen)
 
         solver = self.solver

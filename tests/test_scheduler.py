@@ -110,3 +110,23 @@ def test_run_compiled_budget_and_empty():
     assert all(not r.converged for r in res)
     assert all(r.iterations == 100 for r in res)
     assert sched.run_compiled(iter([])) == []
+
+
+def test_run_compiled_sharded_solver_falls_back():
+    """A sharded solver routes run_compiled to the host loop (solve()
+    owns device placement there; the compiled drain builds its state
+    unsharded)."""
+    from admmsolver_tpu.parallel import batch_sharding, make_mesh
+
+    rng = np.random.RandomState(6)
+    M, N = 8, 16
+    A = rng.randn(M, N)
+    ys = rng.randn(5, M)
+    mesh = make_mesh(2)
+    bs = BatchedSolver(_template(A, ys[0]),
+                       sharding=batch_sharding(mesh))
+    sched = ScenarioScheduler(bs, batch_size=2, chunk_iters=50,
+                              niter_max=100, rtol=0.0)
+    res = sched.run_compiled({(0, "y"): ys[i]} for i in range(5))
+    assert len(res) == 5
+    assert all(r.iterations == 100 for r in res)
