@@ -33,8 +33,10 @@ def main():
         d = (d + d.transpose(0, 2, 1)) / 2
         for label, ceil in (("jacobi", 256), ("sign", 8)):
             for dt in (jnp.float32, jnp.float64):
-                old = prox_mod.JACOBI_MAX_N
+                old = (prox_mod.JACOBI_MAX_N,
+                       prox_mod.JACOBI_MAX_N_F32)
                 prox_mod.JACOBI_MAX_N = ceil
+                prox_mod.JACOBI_MAX_N_F32 = None
                 try:
                     def body(i, x):
                         flat = x.reshape(K, n * n)
@@ -58,7 +60,8 @@ def main():
                         "finite": bool(np.isfinite(
                             np.asarray(out)).all())}), flush=True)
                 finally:
-                    prox_mod.JACOBI_MAX_N = old
+                    (prox_mod.JACOBI_MAX_N,
+                     prox_mod.JACOBI_MAX_N_F32) = old
 
 
 if __name__ == "__main__":
