@@ -130,3 +130,41 @@ def test_run_compiled_sharded_solver_falls_back():
     res = sched.run_compiled({(0, "y"): ys[i]} for i in range(5))
     assert len(res) == 5
     assert all(r.iterations == 100 for r in res)
+
+
+def test_run_compiled_f32_solver_casts_scenarios():
+    """f64 scenario values must not promote an f32 compiled drain
+    (round-5 review: run_compiled now applies solve()'s _cast_like)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    M, N = 8, 16
+    A = rng.randn(M, N)
+    ys = rng.randn(4, M)          # float64 scenario values
+    bs = BatchedSolver(_template(A, ys[0]), dtype=jnp.float32)
+    sched = ScenarioScheduler(bs, batch_size=2, chunk_iters=50,
+                              niter_max=100, rtol=0.0)
+    comp = sched.run_compiled({(0, "y"): ys[i]} for i in range(4))
+    host = sched.run({(0, "y"): ys[i]} for i in range(4))
+    for a, b in zip(comp, host):
+        assert a.x[0].dtype == np.float32
+        np.testing.assert_array_equal(a.x[0], b.x[0])
+
+
+def test_run_compiled_cache_keys_on_mu0():
+    """Two schedulers sharing one solver with different mu0 must not
+    reuse each other's compiled drain (round-5 review)."""
+    rng = np.random.RandomState(8)
+    M, N = 8, 16
+    A = rng.randn(M, N)
+    ys = rng.randn(3, M)
+    bs = BatchedSolver(_template(A, ys[0]))
+    scen = lambda: ({(0, "y"): ys[i]} for i in range(3))
+    r1 = ScenarioScheduler(bs, batch_size=2, chunk_iters=50,
+                           niter_max=100, rtol=0.0,
+                           mu0=1.0).run_compiled(scen())
+    r10 = ScenarioScheduler(bs, batch_size=2, chunk_iters=50,
+                            niter_max=100, rtol=0.0,
+                            mu0=10.0).run_compiled(scen())
+    # different penalty init -> different final mu
+    assert not np.allclose(r1[0].final_mu, r10[0].final_mu)
